@@ -1,0 +1,73 @@
+"""date filter: multi-format timestamp parsing into @timestamp/target.
+
+Reference: logstash-filter-date (default distribution,
+rakelib/plugins-metadata.json:100; docs docs/reference/
+core-operations.md:13-24; apache usage tools/benchmark-cli/.../cases/
+apache.cfg:12-15).  Semantics:
+
+* ordered list of formats tried in sequence; first parse wins;
+* special formats ``ISO8601``, ``UNIX`` (epoch seconds, may be fractional),
+  ``UNIX_MS`` (epoch millis), ``TAI64N``;
+* on total failure: tag ``_dateparsefailure``, event unchanged.
+
+Spark design: ``coalesce(try_to_timestamp(col, f1), try_to_timestamp(col,
+f2), ...)`` — one JVM expression chain; Joda-style pattern tokens are
+translated to java.time (DateTimeFormatter) tokens where they differ.
+Failure tag = result-is-null branch.  No UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.decorators import add_tag
+
+# Joda -> java.time differences that matter for the common formats
+_JODA_TO_JAVA = [
+    ("ZZ", "XXX"),   # ISO8601 offset with colon
+    ("Z", "xx"),     # offset without colon (Joda Z prints +0000)
+]
+
+
+def joda_to_java(fmt: str) -> str:
+    # 'Z' inside quoted literals is untouched; our formats don't quote Z.
+    for jd, jv in _JODA_TO_JAVA:
+        fmt = fmt.replace(jd, jv)
+    return fmt
+
+
+def _parse_one(col: Column, fmt: str) -> Column:
+    if fmt == "ISO8601":
+        # Spark's default string->timestamp cast accepts ISO8601 shapes
+        return F.try_to_timestamp(col)
+    if fmt == "UNIX":
+        d = F.when(col.rlike(r"^\d+(\.\d+)?$"), col).try_cast("double")
+        return F.when(d.isNotNull(), F.timestamp_micros((d * 1_000_000).try_cast("long")))
+    if fmt == "UNIX_MS":
+        l = F.when(col.rlike(r"^\d+$"), col).try_cast("long")
+        return F.when(l.isNotNull(), F.timestamp_millis(l))
+    if fmt == "TAI64N":
+        # @4000000037c219bf2ef02e94 -> strip @, first 16 hex = secs since
+        # 2^62 offset epoch, next 8 hex = nanos
+        hexs = F.regexp_replace(col, "^@", "")
+        secs = F.conv(F.substring(hexs, 1, 16), 16, 10).cast("decimal(38,0)") - F.lit(2**62)
+        nanos = F.conv(F.substring(hexs, 17, 8), 16, 10).cast("long")
+        micros = secs.cast("long") * 1_000_000 + (nanos / 1000).cast("long")
+        ok = col.rlike("^@?[0-9a-fA-F]{24}$")
+        return F.when(ok, F.timestamp_micros(micros))
+    return F.try_to_timestamp(col, F.lit(joda_to_java(fmt)))
+
+
+def date(
+    df: DataFrame,
+    source: str,
+    formats: list[str],
+    target: str = "@timestamp",
+    tag_on_failure: str = "_dateparsefailure",
+) -> DataFrame:
+    """Try each format in order; write first success to `target`."""
+    src = F.col(source)
+    parsed = F.coalesce(*[_parse_one(src, f) for f in formats])
+    df = df.withColumn(target, parsed)
+    return add_tag(df, tag_on_failure, when=parsed.isNull())

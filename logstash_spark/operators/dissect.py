@@ -1,0 +1,76 @@
+"""dissect filter: positional delimiter-based extraction (no regex scan).
+
+Reference: logstash-filter-dissect (default distribution,
+rakelib/plugins-metadata.json:109; docs docs/reference/
+field-extraction.md:13-47).  A dissect mapping like
+``%{client} %{verb} [%{ts}]`` splits on the literal delimiters between
+field references.
+
+Spark design: the mapping compiles to ONE anchored regex where every
+``%{field}`` becomes a lazy ``(.*?)`` group (final field greedy) and every
+literal is escaped — so semantics stay positional (first occurrence of each
+delimiter) while execution is a single JVM ``regexp_extract`` per field.
+Skip fields ``%{}`` and ``%{?name}`` consume without emitting; append
+``%{+field}`` concatenates to the previous capture of that field.
+Failure tags ``_dissectfailure`` (per reference).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.decorators import add_tag
+
+_FIELD = re.compile(r"%\{([^}]*)\}")
+
+
+class CompiledDissect:
+    def __init__(self, mapping: str):
+        self.fields: list[str] = []          # emitted field per group index
+        parts: list[str] = ["^"]
+        pos = 0
+        matches = list(_FIELD.finditer(mapping))
+        for i, m in enumerate(matches):
+            lit = mapping[pos : m.start()]
+            if lit:
+                parts.append(re.escape(lit))
+            pos = m.end()
+            name = m.group(1)
+            greedy = i == len(matches) - 1 and pos == len(mapping)
+            body = "(.*)" if greedy else "(.*?)"
+            if name == "" or name.startswith("?"):
+                parts.append(body.replace("(", "(?:", 1))
+            else:
+                self.fields.append(name.lstrip("+"))
+                parts.append(body)
+        tail = mapping[pos:]
+        if tail:
+            parts.append(re.escape(tail))
+        parts.append("$")
+        self.regex = "".join(parts)
+
+    def group_of(self, field: str) -> int:
+        return self.fields.index(field) + 1
+
+
+def dissect(
+    df: DataFrame,
+    source: str,
+    mapping: str,
+    convert: dict[str, str] | None = None,
+    tag_on_failure: str = "_dissectfailure",
+) -> DataFrame:
+    d = CompiledDissect(mapping)
+    src = F.col(source)
+    ok = src.isNotNull() & src.rlike(d.regex)
+    for f in d.fields:
+        col = F.regexp_extract(src, d.regex, d.group_of(f))
+        col = F.when(ok, F.when(col == "", None).otherwise(col))
+        cast = (convert or {}).get(f)
+        if cast:
+            col = col.cast({"int": "long", "float": "double"}.get(cast, cast))
+        df = df.withColumn(f, col)
+    return add_tag(df, tag_on_failure, when=~ok)

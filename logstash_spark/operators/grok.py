@@ -1,0 +1,147 @@
+"""grok filter: regex field extraction, Spark-first.
+
+Reference semantics (plugin logstash-filter-grok, default distribution —
+rakelib/plugins-metadata.json:144, tier-1 in ci/test_plugins.rb:183; docs
+docs/reference/field-extraction.md:73-99; exercised by
+tools/benchmark-cli/.../cases/apache.cfg:6-10):
+
+* ``match => {field => "pattern"}`` where pattern mixes literals with
+  ``%{SYNTAX:semantic[:type]}`` references into a pattern library.
+* on match: named captures become event fields, optionally coerced
+  (``:int``/``:float``); on failure the event is tagged
+  ``_grokparsefailure`` and passes through unmodified.
+
+Spark design: the grok template is compiled **once on the driver** to a
+single Java regex with numbered groups; each capture becomes one
+``regexp_extract`` Column and the match test is one ``rlike`` — all JVM-side
+inside whole-stage codegen, zero Python in the hot path.  At 100 TB this is
+a narrow map stage: no shuffle, predicate/column pruning unaffected.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.decorators import add_tag
+
+# Public grok base patterns (subset of the grok ecosystem's core library —
+# these definitions are public domain regex idioms; semantics per
+# docs/reference/field-extraction.md).
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?(?:[0-9]+)",
+    "BASE10NUM": r"[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+))",
+    "NUMBER": r"[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+))",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BOOLEAN": r"(?i)(?:true|false)",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "QS": r"\"(?:[^\"\\]|\\.)*\"",
+    "QUOTEDSTRING": r"\"(?:[^\"\\]|\\.)*\"",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b",
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "HTTPDATE": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(?:\d\d){1,2}:(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?) [+-](?:\d{4})",
+    "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])(?::?(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?))?(?:Z|[+-](?:2[0123]|[01]?[0-9])(?::?(?:[0-5][0-9])))?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "IPORHOST": None,  # composed below
+}
+BASE_PATTERNS["IPORHOST"] = f"(?:{BASE_PATTERNS['IPV4']}|{BASE_PATTERNS['HOSTNAME']})"
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(\w+))?\}")
+
+_TYPE_CAST = {"int": "long", "float": "double", "string": "string", "boolean": "boolean"}
+
+
+class CompiledGrok:
+    """A grok template compiled to one Java regex + capture plan."""
+
+    def __init__(self, template: str, patterns: dict[str, str] | None = None):
+        lib = dict(BASE_PATTERNS)
+        if patterns:
+            lib.update(patterns)
+        self.captures: list[tuple[str, str | None]] = []  # (field, cast_type)
+        self._group_of: dict[str, int] = {}
+        group_counter = [0]
+
+        def expand(tpl: str, depth: int = 0) -> str:
+            if depth > 10:
+                raise ValueError("grok pattern recursion too deep")
+            out = []
+            pos = 0
+            for m in _GROK_REF.finditer(tpl):
+                # non-%{} text is regex syntax in grok, passed through as-is
+                out.append(tpl[pos : m.start()])
+                pos = m.end()
+                name, field, typ = m.group(1), m.group(2), m.group(3)
+                if name not in lib:
+                    raise KeyError(f"unknown grok pattern %{{{name}}}")
+                body = expand(lib[name], depth + 1)
+                if field:
+                    group_counter[0] += 1
+                    # neutralize inner capturing groups: grok lib patterns
+                    # here are written non-capturing already
+                    self.captures.append((field, _TYPE_CAST.get(typ) if typ else None))
+                    self._group_of[field] = group_counter[0]
+                    out.append(f"({body})")
+                    # account for any capturing groups inside body (none in
+                    # our library, which uses (?:...) exclusively)
+                else:
+                    out.append(f"(?:{body})")
+            out.append(tpl[pos:])
+            return "".join(out)
+
+        self.regex = expand(template)
+        self.template = template
+
+    def matched(self, col: Column) -> Column:
+        """Grok anchors nowhere: a match anywhere in the string counts."""
+        return col.isNotNull() & col.rlike(self.regex)
+
+    def extract(self, col: Column, field: str) -> Column:
+        idx = self._group_of[field]
+        raw = F.regexp_extract(col, self.regex, idx)
+        # regexp_extract returns "" on no-match; normalize to null
+        raw = F.when(raw == "", None).otherwise(raw)
+        cast = dict(self.captures).get(field)
+        return raw.cast(cast) if cast else raw
+
+
+def grok(
+    df: DataFrame,
+    source: str,
+    template: str,
+    patterns: dict[str, str] | None = None,
+    tag_on_failure: str = "_grokparsefailure",
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """Apply a grok match: add one column per named capture; tag failures.
+
+    Matches reference behavior: unmatched events pass through with the
+    failure tag and null capture columns.
+    """
+    g = CompiledGrok(template, patterns)
+    src = F.col(source)
+    ok = g.matched(src)
+    for field, _ in g.captures:
+        df = df.withColumn(field, F.when(ok, g.extract(src, field)))
+    df = add_tag(df, tag_on_failure, when=~ok)
+    if not keep_unmatched:
+        df = df.filter(ok)
+    return df

@@ -1,0 +1,91 @@
+"""Parser filters: kv, csv, json, xml — string field -> structured fields.
+
+References (all default-distribution plugins, rakelib/plugins-metadata.json):
+ * kv   (meta:169; docs docs/reference/field-extraction.md:50-70)
+ * csv  (meta:96)
+ * json (meta:164) — failure tag ``_jsonparsefailure``
+ * xml  (meta:235)
+
+Spark design: `str_to_map`, `from_csv`, `from_json`, `from_xml` — all
+built-in JVM expressions; parse failures surface as nulls which drive the
+reference's failure-tag branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.decorators import add_tag
+
+
+def kv(
+    df: DataFrame,
+    source: str,
+    field_split: str = " ",
+    value_split: str = "=",
+    target: str = "kv",
+    include_keys: list[str] | None = None,
+) -> DataFrame:
+    """k=v pair extraction into a map column (+ optional promoted columns).
+
+    `include_keys` promotes selected keys to top-level string columns, the
+    common relational usage; the full map lands in `target`.
+    """
+    m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    df = df.withColumn(target, m)
+    for k in include_keys or []:
+        df = df.withColumn(k, F.element_at(F.col(target), k))
+    return df
+
+
+def csv_filter(
+    df: DataFrame,
+    source: str,
+    columns: list[str],
+    separator: str = ",",
+    types: dict[str, str] | None = None,
+    target: str | None = None,
+) -> DataFrame:
+    """Parse a delimited line into named columns via from_csv (JVM parser,
+    quote-aware — unlike a naive split)."""
+    schema = ", ".join(f"`{c}` {((types or {}).get(c, 'string')).upper()}" for c in columns)
+    parsed = F.from_csv(F.col(source), schema, {"sep": separator})
+    if target:
+        return df.withColumn(target, parsed)
+    for c in columns:
+        df = df.withColumn(c, parsed.getField(c))
+    return df
+
+
+def json_filter(
+    df: DataFrame,
+    source: str,
+    schema: str,
+    target: str | None = None,
+    tag_on_failure: str = "_jsonparsefailure",
+) -> DataFrame:
+    """Parse a JSON string field.  Schema-on-read keeps it columnar; for
+    truly dynamic JSON use schema "map<string,string>"."""
+    parsed = F.from_json(F.col(source), schema)
+    # from_json is PERMISSIVE (null-filled struct on bad input); the failure
+    # tag needs a real parse test -> try_parse_json returns null on invalid
+    ok = F.try_parse_json(F.col(source)).isNotNull()
+    if target:
+        df = df.withColumn(target, parsed)
+    else:
+        field_names = [f.strip().split(" ")[0].strip("`") for f in schema.split(",")] \
+            if not schema.startswith("map") else []
+        if field_names:
+            for c in field_names:
+                df = df.withColumn(c, parsed.getField(c))
+        else:
+            df = df.withColumn("json", parsed)
+    return add_tag(df, tag_on_failure, when=~ok)
+
+
+def xml_filter(df: DataFrame, source: str, schema: str, target: str = "xml",
+               tag_on_failure: str = "_xmlparsefailure") -> DataFrame:
+    parsed = F.from_xml(F.col(source), schema)
+    df = df.withColumn(target, parsed)
+    return add_tag(df, tag_on_failure, when=parsed.isNull())

@@ -1,0 +1,172 @@
+"""Windowed / stateful operators: metrics, throttle, aggregate, elapsed.
+
+These are the Logstash plugins whose semantics are genuinely *stateful* —
+in the reference they hold cross-event state inside a single worker thread
+and emit on flush ticks (PeriodicFlush.java:50-57, flush API
+AbstractFilterDelegatorExt.java:154-175).  In Spark they become windowed
+aggregations and range joins, which shard by key across the cluster instead
+of serializing onto one thread — the reference's aggregate filter literally
+forces pipeline.workers=1 (java_pipeline.rb:105-127), our version scales
+horizontally by conv_id.
+
+ * metrics  (meta:181)  -> tumbling/sliding event-time windows
+ * throttle (meta:211)  -> windowed count per key joined back
+ * aggregate (meta:79)  -> session_window keyed by conv_id (+ exact CEP
+                           variant in streaming/, via applyInPandas timers)
+ * elapsed (north-star) -> time-bounded self-join (stream-stream join in
+                           streaming mode with watermarks)
+
+Batch and streaming share these builders: every function takes/returns a
+DataFrame and uses only operations legal in Structured Streaming (windowed
+groupBy, watermark-compatible joins).
+
+Scale notes: all aggregations here are partial-aggregate friendly
+(count/sum/min/max), so map-side combine halves the shuffle; the join keys
+are (conv_id) which we salt upstream for hot conversations (see
+plans/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- metrics filter analog: per-key rate rollups ------------------------------
+
+def tumbling_rollup(df: DataFrame, ts_col: str, size: str,
+                    keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Tumbling event-time window (metrics filter's 1m/5m/15m rates,
+    FlowMetric.java:31-50 analog). Emits window_start + keys + aggs."""
+    w = F.window(F.col(ts_col), size)
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_rollup(df: DataFrame, ts_col: str, size: str, slide: str,
+                   keys: list[str], aggs: list[Column]) -> DataFrame:
+    w = F.window(F.col(ts_col), size, slide)
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+# -- throttle filter analog ----------------------------------------------------
+
+def throttle(df: DataFrame, ts_col: str, key_cols: list[str], period: str,
+             max_count: int, tag: str = "throttled") -> DataFrame:
+    """Tag events beyond `max_count` per key per tumbling period.
+
+    Implemented as a windowed count joined back on (window, key): both sides
+    shuffle on the same key so AQE plans a co-partitioned join; in streaming
+    mode use the aggregate side as a stream and the tag side via
+    stream-stream join or restructure as session logic.
+    """
+    from logstash_spark.functions.decorators import add_tag
+
+    left = df.withColumn("__ws", F.window(F.col(ts_col), period).getField("start"))
+    counts = (
+        left.groupBy("__ws", *[F.col(k) for k in key_cols])
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = left.join(counts, on=["__ws", *key_cols], how="left")
+    out = add_tag(joined, tag, when=F.col("__cnt") > max_count)
+    return out.drop("__ws", "__cnt")
+
+
+# -- aggregate filter analog: session windows ------------------------------------
+
+def session_rollup(df: DataFrame, ts_col: str, key_col: str, gap: str,
+                   aggs: list[Column] | None = None) -> DataFrame:
+    """Session-window aggregation keyed by conversation.
+
+    Reference: logstash-filter-aggregate's `timeout` mode (push map as event
+    when no activity for N seconds).  `session_window(ts, gap)` merges
+    events closer than `gap`; emitted session_end = last ts + gap, matching
+    the reference's "timeout fires gap after last event".
+    """
+    aggs = aggs or [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    ]
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("sw"), F.col(key_col))
+        .agg(*aggs)
+        .withColumn("session_start", F.col("sw.start"))
+        .withColumn("session_end", F.col("sw.end"))
+        .drop("sw")
+    )
+
+
+def aggregate_end_of_task(df: DataFrame, key_col: str, ts_col: str,
+                          end_marker: Column) -> DataFrame:
+    """aggregate filter `end_of_task` mode: accumulate per task (conv_id),
+    emit one summary row only for tasks whose end marker arrived
+    (push_previous_map_as_event semantics, meta:79).
+
+    Batch/streaming-shared shape: single groupBy over the key — partial
+    aggregation map-side, one shuffle on conv_id.
+    """
+    return (
+        df.groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_calls"),
+            F.max(F.when(end_marker, 1).otherwise(0)).alias("__done"),
+        )
+        .filter(F.col("__done") == 1)
+        .withColumn("duration_sec",
+                    (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")))
+        .drop("__done")
+    )
+
+
+# -- elapsed analog: correlate request/response turns ------------------------------
+
+def elapsed_join(df: DataFrame, key_col: str, ts_col: str,
+                 start_pred: Column, end_pred: Column,
+                 max_lag: str = "interval 5 minutes",
+                 id_cols: list[str] | None = None) -> DataFrame:
+    """Pair each `start` event with its FIRST following `end` event on the
+    same key within `max_lag`; emit the elapsed seconds.
+
+    Logstash's elapsed plugin keeps a start-event dict and scans ends
+    against it on one thread; here it is a time-bounded equi-join on the
+    key + a min() to pick the earliest end — in streaming this exact shape
+    is the watermarked stream-stream join (SURVEY.md §2.3 elapsed row).
+    """
+    id_cols = id_cols or ["turn_idx"]
+    s = df.filter(start_pred).select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("start_ts"),
+        *[F.col(c).alias(f"start_{c}") for c in id_cols])
+    e = df.filter(end_pred).select(
+        F.col(key_col).alias("k2"), F.col(ts_col).alias("end_ts"),
+        *[F.col(c).alias(f"end_{c}") for c in id_cols])
+    j = s.join(
+        e,
+        (F.col("k") == F.col("k2"))
+        & (F.col("end_ts") > F.col("start_ts"))
+        & (F.col("end_ts") <= F.col("start_ts") + F.expr(max_lag)),
+        "inner",
+    )
+    first_end = (
+        j.groupBy("k", "start_ts", *[f"start_{c}" for c in id_cols])
+        .agg(F.min("end_ts").alias("end_ts"))
+        .withColumnRenamed("k", key_col)
+        .withColumn("elapsed_sec",
+                    F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts"))
+    )
+    return first_end

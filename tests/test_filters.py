@@ -1,0 +1,238 @@
+"""Per-operator conformance goldens (SURVEY.md §5 strategy: example-based
+goldens mirroring logstash-core/spec/ shapes)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import Row
+
+from logstash_spark.operators.grok import grok, CompiledGrok
+from logstash_spark.operators.dissect import dissect
+from logstash_spark.operators.mutate import mutate
+from logstash_spark.operators.date import date
+from logstash_spark.operators.parsers import kv, csv_filter, json_filter
+from logstash_spark.operators import misc
+from logstash_spark.operators import windows as W
+from logstash_spark.plans.pipeline import Pipeline, Stage, If
+from logstash_spark.functions import conditions as C
+from logstash_spark.functions.sprintf import compile_sprintf
+
+
+GROK_TPL = "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name} msg=%{WORD:msg}"
+
+
+def test_grok_extracts_and_tags(spark, transcripts):
+    out = grok(transcripts, "text", GROK_TPL)
+    rows = out.filter(F.col("status").isNotNull()).limit(5).collect()
+    assert rows, "grok matched nothing"
+    for r in rows:
+        assert r.status in (200, 300, 400)
+        assert isinstance(r.bytes, int)
+        assert "_grokparsefailure" not in (r.tags or [])
+    # malformed rows get the failure tag and null captures
+    bad = out.filter(F.col("text").startswith("RAW|")).limit(5).collect()
+    assert bad
+    for r in bad:
+        assert "_grokparsefailure" in r.tags
+        assert r.status is None
+
+
+def test_grok_apache_pattern(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([Row(message=line)])
+    tpl = ('%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] '
+           '"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '
+           '%{INT:response:int} %{INT:bytes:int}')
+    r = grok(df, "message", tpl).collect()[0]
+    assert r.clientip == "127.0.0.1"
+    assert r.auth == "frank"
+    assert r.timestamp == "10/Oct/2000:13:55:36 -0700"
+    assert r.verb == "GET"
+    assert r.response == 200 and r.bytes == 2326
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame([Row(m="alpha beta [gamma] 42")])
+    r = dissect(df, "m", "%{a} %{b} [%{c}] %{n}", convert={"n": "int"}).collect()[0]
+    assert (r.a, r.b, r.c, r.n) == ("alpha", "beta", "gamma", 42)
+    bad = dissect(spark.createDataFrame([Row(m="no brackets here")]),
+                  "m", "%{a} [%{c}]").collect()[0]
+    assert "_dissectfailure" in bad.tags
+
+
+def test_mutate_chain(spark):
+    df = spark.createDataFrame([Row(s="  Hello.World  ", n="42", csv="a,b,c")])
+    # sub-ops apply in the reference's fixed order (copy is last), so
+    # uppercase-of-a-copy needs a second mutate block, as in Logstash
+    step1 = mutate(
+        df,
+        strip=["s"],
+        gsub=[("s", r"\.", "-")],
+        lowercase=["s"],
+        convert={"n": "integer"},
+        split={"csv": ","},
+        copy={"s": "s2"},
+    )
+    out = mutate(step1, uppercase=["s2"]).collect()[0]
+    assert out.s == "hello-world"
+    assert out.n == 42
+    assert out.csv == ["a", "b", "c"]
+    assert out.s2 == "HELLO-WORLD"
+
+
+def test_date_formats(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, raw="10/Oct/2000:13:55:36 -0700", fmt="httpdate"),
+            Row(id=2, raw="2026-01-02T03:04:05.678Z", fmt="iso"),
+            Row(id=3, raw="1767225600", fmt="unix"),
+            Row(id=4, raw="1767225600123", fmt="unix_ms"),
+            Row(id=5, raw="not a date", fmt="bad"),
+        ]
+    )
+    out = {r.id: r for r in date(
+        df, "raw",
+        ["dd/MMM/yyyy:HH:mm:ss Z", "ISO8601"],
+        target="parsed_ts",
+    ).collect()}
+    assert out[1].parsed_ts == datetime.datetime(2000, 10, 10, 20, 55, 36)
+    assert out[2].parsed_ts == datetime.datetime(2026, 1, 2, 3, 4, 5, 678000)
+    assert "_dateparsefailure" in out[5].tags
+
+    unix_out = date(df.filter("id = 3"), "raw", ["UNIX"], target="u").collect()[0]
+    assert unix_out.u == datetime.datetime(2026, 1, 1, 0, 0)
+    ms_out = date(df.filter("id = 4"), "raw", ["UNIX_MS"], target="u").collect()[0]
+    assert ms_out.u == datetime.datetime(2026, 1, 1, 0, 0, 0, 123000)
+
+
+def test_kv_json_csv(spark):
+    df = spark.createDataFrame([Row(kv_msg="ip=1.2.3.4 error=REFUSED",
+                                    json_msg='{"k": 87, "tags": ["a"]}',
+                                    csv_msg='1,"two, quoted",3.5')])
+    r = kv(df, "kv_msg", include_keys=["ip", "error"]).collect()[0]
+    assert r.ip == "1.2.3.4" and r.error == "REFUSED"
+    r = json_filter(df, "json_msg", "k long, tags array<string>").collect()[0]
+    assert r.k == 87 and r.tags == ["a"]
+    bad = json_filter(spark.createDataFrame([Row(json_msg="{nope")]),
+                      "json_msg", "k long").collect()[0]
+    assert "_jsonparsefailure" in bad.tags
+    r = csv_filter(df, "csv_msg", ["a", "b", "c"], types={"a": "long", "c": "double"}).collect()[0]
+    assert r.a == 1 and r.b == "two, quoted" and r.c == 3.5
+
+
+def test_fingerprint_uuid_anonymize(spark):
+    df = spark.createDataFrame([Row(a="x", b="y")])
+    r = misc.fingerprint(df, ["a", "b"], method="SHA256").collect()[0]
+    import hashlib
+    assert r.fingerprint == hashlib.sha256(b"x|y").hexdigest()
+    r = misc.uuid_filter(df, deterministic_from=["a"]).collect()[0]
+    assert len(r.uuid) == 36 and r.uuid.count("-") == 4
+    r2 = misc.uuid_filter(df, deterministic_from=["a"]).collect()[0]
+    assert r.uuid == r2.uuid
+    r = misc.anonymize(df, ["a"], key="k").collect()[0]
+    assert r.a == hashlib.sha256(b"kx").hexdigest()
+
+
+def test_cidr_syslog_truncate_urldecode(spark):
+    df = spark.createDataFrame([Row(ip="10.1.2.3", pri="165", s="hello%20world xx")])
+    r = misc.cidr(df, "ip", ["10.0.0.0/8"]).collect()[0]
+    assert "cidr_match" in r.tags
+    r = misc.cidr(df, "ip", ["192.168.0.0/16"]).collect()[0]
+    assert "cidr_match" not in (r.tags or [])
+    r = misc.syslog_pri(df, "pri").collect()[0]
+    assert r.syslog_facility_code == 20 and r.syslog_severity == "notice"
+    r = misc.truncate(df, ["s"], 5).collect()[0]
+    assert r.s == "hello"
+    r = misc.urldecode(df.select(F.split("s", " ").getItem(0).alias("s")), "s").collect()[0]
+    assert r.s == "hello world"
+
+
+def test_drop_clone_split_translate(spark):
+    df = spark.createDataFrame([Row(id=i, t="keep" if i % 2 else "drop") for i in range(10)])
+    assert misc.drop(df, F.col("t") == "drop").count() == 5
+    c = misc.clone(df.limit(1), ["copy1", "copy2"])
+    types = [r.type for r in c.collect()]
+    assert types == [None, "copy1", "copy2"]
+    s = misc.split_field(spark.createDataFrame([Row(x="a b c")]), "x", " ")
+    assert [r.x for r in s.collect()] == ["a", "b", "c"]
+    tr = misc.translate(df, "t", {"drop": "DISCARD"}, "decision", fallback="PASS")
+    got = {r.id: r.decision for r in tr.collect()}
+    assert got[0] == "DISCARD" and got[1] == "PASS"
+    dict_df = spark.createDataFrame([Row(k="keep", v="retained")])
+    tj = misc.translate_join(df, "t", dict_df, "k", "v", "decision", fallback="?")
+    got = {r.id: r.decision for r in tj.collect()}
+    assert got[1] == "retained" and got[0] == "?"
+
+
+def test_conditions_truthiness_and_in(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, f="x", l=["a", "b"]), Row(id=2, f="", l=[]),
+         Row(id=3, f="false", l=None), Row(id=4, f=None, l=["x"])]
+    )
+    got = {r.id: r.t for r in df.select("id", C.truthy(F.col("f")).alias("t")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+    # in: substring containment for strings
+    r = df.select("id", C.in_("x", F.col("f")).alias("c")).collect()
+    assert {x.id: x.c for x in r}[1] is True
+    # in: array membership
+    r = {x.id: x.c for x in df.select("id", C.in_array("a", F.col("l")).alias("c")).collect()}
+    assert r[1] is True and r[2] is False
+
+
+def test_sprintf(spark):
+    df = spark.createDataFrame(
+        [Row(role="tool", n=7, ts=datetime.datetime(2026, 1, 2, 3, 4, 5))]
+    )
+    col = compile_sprintf("role=%{role} n=%{n} missing=%{nope} day=%{+yyyy-MM-dd}", df.columns)
+    assert df.select(col.alias("s")).collect()[0].s == \
+        "role=tool n=7 missing=%{nope} day=2026-01-02"
+
+
+def test_pipeline_if_else_branch(spark, transcripts):
+    from logstash_spark.functions.decorators import add_tag
+
+    pipe = Pipeline([
+        Stage(lambda df: grok(df, "text", GROK_TPL), "grok"),
+        If(
+            predicate=lambda df: F.col("status") == 200,
+            then=[Stage(lambda df: add_tag(df, "ok"), "tag-ok")],
+            otherwise=[Stage(lambda df: add_tag(df, "not-ok"), "tag-else")],
+        ),
+    ])
+    out = pipe(transcripts)
+    assert out.count() == transcripts.count()  # branch+union preserves rows
+    ok = out.filter(F.array_contains("tags", "ok"))
+    assert ok.count() == out.filter(F.col("status") == 200).count()
+    # null-status (grok failures) must go down the else path (lazy complement)
+    nulls = out.filter(F.col("status").isNull())
+    assert nulls.filter(~F.array_contains("tags", "not-ok")).count() == 0
+
+
+def test_session_and_endoftask(spark, transcripts):
+    sess = W.session_rollup(transcripts, "ts", "conv_id", "30 minutes")
+    assert sess.count() > 0
+    r = sess.limit(1).collect()[0]
+    assert r.session_end > r.session_start
+    eot = W.aggregate_end_of_task(
+        transcripts, "conv_id", "ts", F.col("text").contains("task=done"))
+    assert eot.count() == transcripts.select("conv_id").distinct().count()
+    assert eot.filter(F.col("duration_sec") < 0).count() == 0
+
+
+def test_elapsed_join(spark, transcripts):
+    out = W.elapsed_join(
+        transcripts, "conv_id", "ts",
+        start_pred=F.col("role") == "user",
+        end_pred=F.col("role").isin("assistant", "tool"),
+        max_lag="interval 2 hours",
+    )
+    rows = out.limit(10).collect()
+    assert rows
+    assert all(0 < r.elapsed_sec <= 7200 for r in rows)
+
+
+def test_throttle(spark, transcripts):
+    out = W.throttle(transcripts, "ts", ["conv_id"], "7 days", max_count=10)
+    assert out.count() == transcripts.count()
+    tagged = out.filter(F.array_contains("tags", "throttled"))
+    assert tagged.count() > 0
