@@ -43,6 +43,14 @@ def mutate(
     merge: dict[str, str] | None = None,
     copy: dict[str, str] | None = None,
 ) -> DataFrame:
+    def _require(f: str, op: str):
+        if f not in df.columns:
+            raise ValueError(
+                f"mutate.{op}: column '{f}' does not exist at this point in the "
+                f"sub-op order (coerce,rename,update,replace,convert,gsub,uppercase,"
+                f"capitalize,lowercase,strip,split,join,merge,copy — copy runs LAST; "
+                f"use a second mutate to transform a copied field)")
+
     # coerce: set only when currently null (docs: sets default for nil field)
     for f, v in (coerce or {}).items():
         if f in df.columns:
@@ -74,14 +82,19 @@ def mutate(
         else:
             df = df.withColumn(f, col.cast(target))
     for f, pat, repl in gsub or []:
+        _require(f, "gsub")
         df = df.withColumn(f, F.regexp_replace(F.col(f), pat, repl))
     for f in uppercase or []:
+        _require(f, "uppercase")
         df = df.withColumn(f, F.upper(F.col(f)))
     for f in capitalize or []:
+        _require(f, "capitalize")
         df = df.withColumn(f, F.initcap(F.col(f)))
     for f in lowercase or []:
+        _require(f, "lowercase")
         df = df.withColumn(f, F.lower(F.col(f)))
     for f in strip or []:
+        _require(f, "strip")
         df = df.withColumn(f, F.trim(F.col(f)))
     for f, sep in (split or {}).items():
         df = df.withColumn(f, F.split(F.col(f), sep))
@@ -92,5 +105,6 @@ def mutate(
         d, s = F.col(dst), F.col(src)
         df = df.withColumn(dst, F.concat(d, s))
     for src, dst in (copy or {}).items():
+        _require(src, "copy")
         df = df.withColumn(dst, F.col(src))
     return df
