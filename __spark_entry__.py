@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship pipeline: grok -> mutate -> conditional route ->
+             session-window rollup over the sf0.001 transcripts (the
+             north-star shape, batch mode).
+queries()  — one entry per implemented operator (SURVEY.md §2 + the
+             training-data ops), each running the REAL implementation in
+             logstash_spark/.
+oracle_sql() — independent DuckDB SQL per query expressing the reference
+             semantics over the same parquet views.
 """
 
 from __future__ import annotations
@@ -16,23 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from logstash_spark.catalog import q_session_window
+
+    return q_session_window(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from logstash_spark.catalog import CATALOG
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    try:
+        from logstash_spark.datahub.catalog import DATAHUB_CATALOG
+    except ImportError:
+        DATAHUB_CATALOG = {}
+    full = {**CATALOG, **DATAHUB_CATALOG}
+    return {name: fn for name, (fn, _oracle) in full.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logstash_spark.catalog import CATALOG
+
+    try:
+        from logstash_spark.datahub.catalog import DATAHUB_CATALOG
+    except ImportError:
+        DATAHUB_CATALOG = {}
+    full = {**CATALOG, **DATAHUB_CATALOG}
+    return {name: oracle for name, (_fn, oracle) in full.items() if oracle}

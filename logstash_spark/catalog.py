@@ -1,0 +1,665 @@
+"""Query catalog: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate (__spark_entry__.queries / oracle_sql).
+
+Each spark_fn(spark, sf_dir) runs the REAL operator implementation from
+logstash_spark.operators over the deterministic transcripts view (derived
+from the driver's events parquet — sources/transcripts.py) or the raw
+driver tables.  Each oracle is standalone DuckDB SQL over the same parquet
+views expressing the REFERENCE semantics independently.
+
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name).  Counts are cast to bigint on the Spark
+side because DuckDB count()/len() yield BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.sources.transcripts import (
+    register_transcripts,
+    oracle_with_transcripts,
+)
+from logstash_spark.session import load_tables
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+GROK_TPL = ("status=%{INT:status:int} bytes=%{INT:bytes:int} "
+            "tool=%{WORD:tool_name} msg=%{WORD:msg}")
+# oracle mirror of the same semantics (full-pattern match, per-group extract)
+GROK_SQL_PAT = r"status=([+-]?[0-9]+) bytes=([+-]?[0-9]+) tool=(\w+) msg=(\w+)"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_transcripts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 1. grok
+# ---------------------------------------------------------------------------
+
+def q_grok(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+
+    t = _t(spark, sf_dir)
+    out = grok(t, "text", GROK_TPL)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("status").cast("long").alias("status"),
+        F.col("bytes").cast("long").alias("bytes"),
+        F.col("tool_name"), F.col("msg"),
+        F.array_contains("tags", "_grokparsefailure").alias("grok_failed"),
+    )
+
+
+ORACLE_GROK = oracle_with_transcripts(f"""
+SELECT conv_id, turn_idx,
+       CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+       CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes,
+       NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 3), '') AS tool_name,
+       NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 4), '') AS msg,
+       NOT regexp_matches(text, '{GROK_SQL_PAT}') AS grok_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 2. dissect
+# ---------------------------------------------------------------------------
+
+def q_dissect(spark, sf_dir):
+    from logstash_spark.operators.dissect import dissect
+
+    t = _t(spark, sf_dir)
+    out = dissect(t, "text", "status=%{f_status} bytes=%{f_bytes} tool=%{f_tool} msg=%{f_rest}")
+    return out.select(
+        "conv_id", "turn_idx", "f_status", "f_bytes", "f_tool", "f_rest",
+        F.array_contains("tags", "_dissectfailure").alias("dissect_failed"),
+    )
+
+
+ORACLE_DISSECT = oracle_with_transcripts(r"""
+SELECT conv_id, turn_idx,
+       NULLIF(regexp_extract(text, '^status=(.*?) bytes=(.*?) tool=(.*?) msg=(.*)$', 1), '') AS f_status,
+       NULLIF(regexp_extract(text, '^status=(.*?) bytes=(.*?) tool=(.*?) msg=(.*)$', 2), '') AS f_bytes,
+       NULLIF(regexp_extract(text, '^status=(.*?) bytes=(.*?) tool=(.*?) msg=(.*)$', 3), '') AS f_tool,
+       NULLIF(regexp_extract(text, '^status=(.*?) bytes=(.*?) tool=(.*?) msg=(.*)$', 4), '') AS f_rest,
+       NOT regexp_matches(text, '^status=(.*?) bytes=(.*?) tool=(.*?) msg=(.*)$') AS dissect_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 3. mutate chain
+# ---------------------------------------------------------------------------
+
+def q_mutate(spark, sf_dir):
+    from logstash_spark.operators.mutate import mutate
+
+    t = _t(spark, sf_dir)
+    step1 = mutate(
+        t,
+        copy={"text": "text_norm"},
+        rename={"role": "speaker"},
+    )
+    out = mutate(
+        step1,
+        gsub=[("text_norm", "=", ":")],
+        uppercase=["speaker"],
+        strip=["text_norm"],
+    )
+    return out.select("conv_id", "turn_idx", "speaker", "text_norm")
+
+
+ORACLE_MUTATE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       UPPER(role) AS speaker,
+       TRIM(regexp_replace(text, '=', ':', 'g')) AS text_norm
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 4. date parse (roundtrip through strings, multi-format with failures)
+# ---------------------------------------------------------------------------
+
+def q_date(spark, sf_dir):
+    from logstash_spark.operators.date import date
+
+    t = _t(spark, sf_dir)
+    # format ts as a string; malformed rows get an unparseable raw value
+    raw = F.when(
+        ~F.col("text").startswith("RAW|"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    ).otherwise(F.lit("not-a-date"))
+    staged = t.withColumn("raw_ts", raw)
+    out = date(staged, "raw_ts", ["yyyy-MM-dd HH:mm:ss.SSSSSS"], target="parsed_ts")
+    return out.select(
+        "conv_id", "turn_idx", "parsed_ts",
+        F.array_contains("tags", "_dateparsefailure").alias("date_failed"),
+    )
+
+
+ORACLE_DATE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       CASE WHEN text NOT LIKE 'RAW|%'
+            THEN strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f')
+       END AS parsed_ts,
+       text LIKE 'RAW|%' AS date_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 5. kv
+# ---------------------------------------------------------------------------
+
+def q_kv(spark, sf_dir):
+    from logstash_spark.operators.parsers import kv
+
+    t = _t(spark, sf_dir)
+    out = kv(t, "text", include_keys=["status", "bytes", "tool"])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("status").alias("kv_status"),
+        F.col("bytes").alias("kv_bytes"),
+        F.col("tool").alias("kv_tool"),
+    )
+
+
+ORACLE_KV = oracle_with_transcripts(r"""
+SELECT conv_id, turn_idx,
+       NULLIF(regexp_extract(text, 'status=(\S*)', 1), '') AS kv_status,
+       NULLIF(regexp_extract(text, 'bytes=(\S*)', 1), '') AS kv_bytes,
+       NULLIF(regexp_extract(text, 'tool=(\S*)', 1), '') AS kv_tool
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 6. json (events.props)
+# ---------------------------------------------------------------------------
+
+def q_json(spark, sf_dir):
+    from logstash_spark.operators.parsers import json_filter
+
+    load_tables(spark, sf_dir, "events")
+    ev = spark.table("events")
+    out = json_filter(ev, "props", "k long")
+    return out.select(
+        "event_id", "k",
+        F.array_contains("tags", "_jsonparsefailure").alias("json_failed"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       (json_valid(props) IS NOT TRUE) AS json_failed
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. csv
+# ---------------------------------------------------------------------------
+
+def q_csv(spark, sf_dir):
+    from logstash_spark.operators.parsers import csv_filter
+
+    load_tables(spark, sf_dir, "events")
+    line = F.concat_ws(",", F.col("event_type"),
+                       F.floor("value").cast("long"), F.col("user_id"))
+    staged = spark.table("events").withColumn("line", line)
+    out = csv_filter(staged, "line", ["etype", "val_floor", "uid"],
+                     types={"val_floor": "long", "uid": "long"})
+    return out.select("event_id", "etype", "val_floor", "uid")
+
+
+ORACLE_CSV = """
+SELECT event_id,
+       string_split(CONCAT(event_type, ',', CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), ',', CAST(user_id AS VARCHAR)), ',')[1] AS etype,
+       CAST(string_split(CONCAT(event_type, ',', CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), ',', CAST(user_id AS VARCHAR)), ',')[2] AS BIGINT) AS val_floor,
+       CAST(string_split(CONCAT(event_type, ',', CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), ',', CAST(user_id AS VARCHAR)), ',')[3] AS BIGINT) AS uid
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. fingerprint / anonymize / deterministic uuid
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark, sf_dir):
+    from logstash_spark.operators.misc import fingerprint, anonymize, uuid_filter
+
+    t = _t(spark, sf_dir)
+    out = fingerprint(t, ["conv_id", "text"], target="fp_sha", method="SHA256")
+    out = fingerprint(out, ["text"], target="fp_md5", method="MD5")
+    out = anonymize(out.withColumn("conv_anon", F.col("conv_id")),
+                    ["conv_anon"], key="s3cr3t")
+    out = uuid_filter(out, target="turn_uuid",
+                      deterministic_from=["conv_id", "turn_idx"])
+    return out.select("conv_id", "turn_idx", "fp_sha", "fp_md5",
+                      "conv_anon", "turn_uuid")
+
+
+ORACLE_FINGERPRINT = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       sha256(CONCAT(conv_id, '|', text)) AS fp_sha,
+       md5(text) AS fp_md5,
+       sha256(CONCAT('s3cr3t', conv_id)) AS conv_anon,
+       CONCAT(
+         SUBSTRING(md5(CONCAT(conv_id, '|', CAST(turn_idx AS VARCHAR))), 1, 8), '-',
+         SUBSTRING(md5(CONCAT(conv_id, '|', CAST(turn_idx AS VARCHAR))), 9, 4), '-',
+         SUBSTRING(md5(CONCAT(conv_id, '|', CAST(turn_idx AS VARCHAR))), 13, 4), '-',
+         SUBSTRING(md5(CONCAT(conv_id, '|', CAST(turn_idx AS VARCHAR))), 17, 4), '-',
+         SUBSTRING(md5(CONCAT(conv_id, '|', CAST(turn_idx AS VARCHAR))), 21, 12)
+       ) AS turn_uuid
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 9. drop (conditional, deterministic percentage)
+# ---------------------------------------------------------------------------
+
+def q_drop(spark, sf_dir):
+    from logstash_spark.operators.misc import drop
+    from logstash_spark.operators.grok import grok
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL)
+    # drop all grok failures, and 50% (deterministic: even bytes) of 400s
+    out = drop(t, F.array_contains("tags", "_grokparsefailure"))
+    out = out.filter(~((F.col("status") == 400) & (F.pmod("bytes", F.lit(2)) == 0)))
+    return out.select("conv_id", "turn_idx", "status", "bytes")
+
+
+ORACLE_DROP = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes,
+         regexp_matches(text, '{GROK_SQL_PAT}') AS ok
+  FROM transcripts)
+SELECT conv_id, turn_idx, status, bytes
+FROM g WHERE ok AND NOT (status = 400 AND bytes % 2 = 0)
+""")
+
+
+# ---------------------------------------------------------------------------
+# 10. split (explode tokens)
+# ---------------------------------------------------------------------------
+
+def q_split(spark, sf_dir):
+    from logstash_spark.operators.misc import split_field
+
+    t = _t(spark, sf_dir)
+    out = split_field(t.withColumn("token", F.col("text")), "token", " ")
+    return out.select("conv_id", "turn_idx", "token")
+
+
+ORACLE_SPLIT = oracle_with_transcripts("""
+SELECT conv_id, turn_idx, UNNEST(string_split(text, ' ')) AS token
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 11. clone
+# ---------------------------------------------------------------------------
+
+def q_clone(spark, sf_dir):
+    from logstash_spark.operators.misc import clone
+
+    t = _t(spark, sf_dir)
+    out = clone(t, ["shadow"])
+    return out.select("conv_id", "turn_idx", "role",
+                      F.coalesce(F.col("type"), F.lit("original")).alias("type"))
+
+
+ORACLE_CLONE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx, role, 'original' AS type FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx, role, 'shadow' AS type FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 12. translate (inline dict with fallback)
+# ---------------------------------------------------------------------------
+
+TOOL_CATEGORY = {
+    "search": "retrieval", "retrieval": "retrieval", "browser": "web",
+    "python": "code", "bash": "code", "sql": "data",
+    "calculator": "math", "editor": "code",
+}
+
+
+def q_translate(spark, sf_dir):
+    from logstash_spark.operators.misc import translate
+
+    t = _t(spark, sf_dir)
+    out = translate(t, "tool", TOOL_CATEGORY, "tool_category", fallback="other")
+    return out.select("conv_id", "turn_idx", "tool", "tool_category")
+
+
+_tcase = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in TOOL_CATEGORY.items())
+ORACLE_TRANSLATE = oracle_with_transcripts(f"""
+SELECT conv_id, turn_idx, tool,
+       COALESCE(CASE tool {_tcase} END, 'other') AS tool_category
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 13. cidr + syslog_pri (synthetic derivations over grokked fields)
+# ---------------------------------------------------------------------------
+
+def q_cidr_syslog(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.operators.misc import cidr_match, syslog_pri
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL).filter(F.col("status").isNotNull())
+    t = t.withColumn("ip", F.concat(F.lit("10."), F.pmod("bytes", F.lit(256)).cast("string"),
+                                    F.lit(".0."), F.pmod("status", F.lit(256)).cast("string")))
+    t = t.withColumn("in_ten_slash8", cidr_match(F.col("ip"), "10.0.0.0/8"))
+    t = t.withColumn("in_narrow", cidr_match(F.col("ip"), "10.128.0.0/9"))
+    t = t.withColumn("syslog_pri", F.pmod("bytes", F.lit(192)).cast("string"))
+    out = syslog_pri(t, "syslog_pri")
+    return out.select("conv_id", "turn_idx", "ip", "in_ten_slash8", "in_narrow",
+                      "syslog_facility_code", "syslog_severity_code", "syslog_severity")
+
+
+_sevcase = " ".join(
+    f"WHEN {i} THEN '{s}'" for i, s in enumerate(
+        ["emergency", "alert", "critical", "error", "warning", "notice",
+         "informational", "debug"])
+)
+ORACLE_CIDR_SYSLOG = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes
+  FROM transcripts),
+f AS (SELECT *, bytes % 256 AS oct2, status % 256 AS oct4, bytes % 192 AS pri
+      FROM g WHERE status IS NOT NULL)
+SELECT conv_id, turn_idx,
+       CONCAT('10.', CAST(oct2 AS VARCHAR), '.0.', CAST(oct4 AS VARCHAR)) AS ip,
+       TRUE AS in_ten_slash8,
+       (10*16777216 + oct2*65536 + oct4) BETWEEN (10*16777216 + 128*65536) AND (10*16777216 + 255*65536 + 65535) AS in_narrow,
+       CAST(FLOOR(pri / 8) AS INT) AS syslog_facility_code,
+       CAST(pri % 8 AS INT) AS syslog_severity_code,
+       CASE CAST(pri % 8 AS INT) {_sevcase} END AS syslog_severity
+FROM f
+""")
+
+
+# ---------------------------------------------------------------------------
+# 14. truncate + sprintf
+# ---------------------------------------------------------------------------
+
+def q_truncate_sprintf(spark, sf_dir):
+    from logstash_spark.operators.misc import truncate
+    from logstash_spark.functions.sprintf import compile_sprintf
+
+    t = _t(spark, sf_dir)
+    out = truncate(t.withColumn("text_short", F.col("text")), ["text_short"], 20)
+    tpl = "conv=%{conv_id} role=%{role} day=%{+yyyy-MM-dd} missing=%{nope}"
+    out = out.withColumn("formatted", compile_sprintf(tpl, out.columns, ts_field="ts"))
+    return out.select("conv_id", "turn_idx", "text_short", "formatted")
+
+
+ORACLE_TRUNCATE_SPRINTF = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       SUBSTRING(text, 1, 20) AS text_short,
+       CONCAT('conv=', conv_id, ' role=', role, ' day=', strftime(ts, '%Y-%m-%d'),
+              ' missing=%{nope}') AS formatted
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 15. conditional routing (if/else pipeline with tags)
+# ---------------------------------------------------------------------------
+
+def q_conditional(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.plans.pipeline import Pipeline, Stage, If
+    from logstash_spark.functions.decorators import add_tag
+    from logstash_spark.functions import conditions as C
+
+    pipe = Pipeline([
+        Stage(lambda df: grok(df, "text", GROK_TPL), "grok"),
+        If(lambda df: (F.col("status") >= 400) & C.contains(F.col("text"), "msg="),
+           then=[Stage(lambda df: add_tag(df, "failure"))],
+           otherwise=[
+               If(lambda df: C.in_(F.col("role"), ["tool", "assistant"]),
+                  then=[Stage(lambda df: add_tag(df, "machine"))],
+                  otherwise=[Stage(lambda df: add_tag(df, "human"))]),
+           ]),
+    ])
+    out = pipe(_t(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx",
+        F.array_join(F.array_sort("tags"), ",").alias("tags_str"))
+
+
+ORACLE_CONDITIONAL = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         NOT regexp_matches(text, '{GROK_SQL_PAT}') AS gf
+  FROM transcripts)
+SELECT conv_id, turn_idx,
+  list_aggregate(list_sort(
+    CASE WHEN gf THEN ['_grokparsefailure'] ELSE [] END ||
+    CASE WHEN status >= 400 AND contains(text, 'msg=') THEN ['failure']
+         WHEN role IN ('tool','assistant') THEN ['machine']
+         ELSE ['human'] END), 'string_agg', ',') AS tags_str
+FROM g
+""")
+
+
+# ---------------------------------------------------------------------------
+# 16. session window rollup (aggregate filter timeout analog)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_session_window(spark, sf_dir):
+    from logstash_spark.operators.windows import session_rollup
+
+    t = _t(spark, sf_dir)
+    out = session_rollup(t, "ts", "conv_id", f"{SESSION_GAP_MIN} minutes",
+                         aggs=[
+                             F.count(F.lit(1)).alias("n_turns"),
+                             F.min("ts").alias("first_ts"),
+                             F.max("ts").alias("last_ts"),
+                             F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+                             .cast("long").alias("n_tool_turns"),
+                         ])
+    return out.select("conv_id", "session_start", "session_end",
+                      "n_turns", "first_ts", "last_ts", "n_tool_turns")
+
+
+ORACLE_SESSION = oracle_with_transcripts(f"""
+WITH ordered AS (
+  SELECT conv_id, role, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM transcripts),
+islands AS (
+  SELECT conv_id, role, ts,
+         SUM(new_session) OVER (PARTITION BY conv_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered)
+SELECT conv_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_turns,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns
+FROM islands GROUP BY conv_id, island
+""")
+
+
+# ---------------------------------------------------------------------------
+# 17. tumbling rollup (metrics filter analog: per-role daily rates)
+# ---------------------------------------------------------------------------
+
+def q_tumbling(spark, sf_dir):
+    from logstash_spark.operators.windows import tumbling_rollup
+    from logstash_spark.operators.grok import grok
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL)
+    out = tumbling_rollup(t, "ts", "1 day", ["role"], [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("sum_bytes"),
+    ])
+    return out.select("window_start", "role", "n", "sum_bytes")
+
+
+ORACLE_TUMBLING = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT role, ts,
+         COALESCE(CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT), 0) AS bytes
+  FROM transcripts)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, role,
+       COUNT(*) AS n, SUM(bytes) AS sum_bytes
+FROM g GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
+# 18. sliding rollup (2-day window, 1-day slide, per tool)
+# ---------------------------------------------------------------------------
+
+def q_sliding(spark, sf_dir):
+    from logstash_spark.operators.windows import sliding_rollup
+
+    t = _t(spark, sf_dir).filter(F.col("tool").isNotNull())
+    out = sliding_rollup(t, "ts", "2 days", "1 day", ["tool"],
+                         [F.count(F.lit(1)).alias("n")])
+    return out.select("window_start", "tool", "n")
+
+
+ORACLE_SLIDING = oracle_with_transcripts("""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - k.k * INTERVAL 1 DAY AS window_start, tool,
+       COUNT(*) AS n
+FROM transcripts, (VALUES (0), (1)) AS k(k)
+WHERE tool IS NOT NULL
+GROUP BY 1, 2
+""")
+
+
+# ---------------------------------------------------------------------------
+# 19. throttle (tag events over N per key per 7-day window)
+# ---------------------------------------------------------------------------
+
+def q_throttle(spark, sf_dir):
+    from logstash_spark.operators.windows import throttle
+
+    t = _t(spark, sf_dir)
+    out = throttle(t, "ts", ["conv_id"], "7 days", max_count=10)
+    return out.select("conv_id", "turn_idx",
+                      F.array_contains("tags", "throttled").alias("throttled"))
+
+
+ORACLE_THROTTLE = oracle_with_transcripts("""
+WITH b AS (
+  SELECT conv_id, turn_idx,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS bucket
+  FROM transcripts),
+c AS (SELECT conv_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+SELECT b.conv_id, b.turn_idx, (c.n > 10) AS throttled
+FROM b JOIN c ON b.conv_id = c.conv_id AND b.bucket = c.bucket
+""")
+
+
+# ---------------------------------------------------------------------------
+# 20. aggregate end-of-task (per-conversation summary on done marker)
+# ---------------------------------------------------------------------------
+
+def q_end_of_task(spark, sf_dir):
+    from logstash_spark.operators.windows import aggregate_end_of_task
+
+    t = _t(spark, sf_dir)
+    out = aggregate_end_of_task(t, "conv_id", "ts",
+                                F.col("text").contains("task=done"))
+    return out.select("conv_id", "n_turns", "first_ts", "last_ts",
+                      "n_tool_calls", "duration_sec")
+
+
+ORACLE_END_OF_TASK = oracle_with_transcripts("""
+SELECT conv_id, COUNT(*) AS n_turns, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_calls,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM transcripts
+GROUP BY conv_id
+HAVING MAX(CASE WHEN contains(text, 'task=done') THEN 1 ELSE 0 END) = 1
+""")
+
+
+# ---------------------------------------------------------------------------
+# 21. elapsed (user turn -> first machine response within bound)
+# ---------------------------------------------------------------------------
+
+def q_elapsed(spark, sf_dir):
+    from logstash_spark.operators.windows import elapsed_join
+
+    t = _t(spark, sf_dir)
+    out = elapsed_join(t, "conv_id", "ts",
+                       start_pred=F.col("role") == "user",
+                       end_pred=F.col("role").isin("assistant", "tool"),
+                       max_lag="interval 2 hours")
+    return out.select("conv_id", "start_turn_idx", "start_ts", "end_ts", "elapsed_sec")
+
+
+ORACLE_ELAPSED = oracle_with_transcripts("""
+SELECT s.conv_id, s.turn_idx AS start_turn_idx, s.ts AS start_ts,
+       MIN(e.ts) AS end_ts,
+       CAST(FLOOR(epoch(MIN(e.ts))) AS BIGINT) - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS elapsed_sec
+FROM transcripts s
+JOIN transcripts e
+  ON e.conv_id = s.conv_id AND e.role IN ('assistant','tool')
+ AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR
+WHERE s.role = 'user'
+GROUP BY s.conv_id, s.turn_idx, s.ts
+""")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, tuple] = {
+    "grok": (q_grok, ORACLE_GROK),
+    "dissect": (q_dissect, ORACLE_DISSECT),
+    "mutate": (q_mutate, ORACLE_MUTATE),
+    "date": (q_date, ORACLE_DATE),
+    "kv": (q_kv, ORACLE_KV),
+    "json": (q_json, ORACLE_JSON),
+    "csv": (q_csv, ORACLE_CSV),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "drop": (q_drop, ORACLE_DROP),
+    "split": (q_split, ORACLE_SPLIT),
+    "clone": (q_clone, ORACLE_CLONE),
+    "translate": (q_translate, ORACLE_TRANSLATE),
+    "cidr_syslog": (q_cidr_syslog, ORACLE_CIDR_SYSLOG),
+    "truncate_sprintf": (q_truncate_sprintf, ORACLE_TRUNCATE_SPRINTF),
+    "conditional": (q_conditional, ORACLE_CONDITIONAL),
+    "session_window": (q_session_window, ORACLE_SESSION),
+    "tumbling_rollup": (q_tumbling, ORACLE_TUMBLING),
+    "sliding_rollup": (q_sliding, ORACLE_SLIDING),
+    "throttle": (q_throttle, ORACLE_THROTTLE),
+    "aggregate_end_of_task": (q_end_of_task, ORACLE_END_OF_TASK),
+    "elapsed": (q_elapsed, ORACLE_ELAPSED),
+}

@@ -94,7 +94,14 @@ def register_transcripts(spark, sf_dir: str):
 
 
 def oracle_with_transcripts(query: str) -> str:
-    """Wrap an oracle SELECT so it sees a `transcripts` CTE (DuckDB)."""
+    """Wrap an oracle SELECT so it sees a `transcripts` CTE (DuckDB).
+
+    If the query already starts with its own WITH clause, merge the CTE
+    lists (SQL allows only one WITH keyword per level)."""
+    stripped = query.lstrip()
+    if stripped.upper().startswith("WITH"):
+        rest = stripped[4:].lstrip()
+        return f"WITH transcripts AS {TRANSCRIPT_CTE_DUCKDB},\n{rest}"
     return f"WITH transcripts AS {TRANSCRIPT_CTE_DUCKDB}\n{query}"
 
 
