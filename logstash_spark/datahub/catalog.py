@@ -1,0 +1,355 @@
+"""Training-data pipeline queries + DuckDB oracles (documents/embeddings).
+
+Same contract as logstash_spark.catalog: (spark_fn, oracle_sql) per name.
+The oracles re-derive every hash/shingle/minhash/cosine from scratch in SQL
+so the check is independent of the Spark implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstash_spark.session import load_tables
+
+# shared SQL fragments ------------------------------------------------------
+
+# DuckDB mirror of dedup.normalize_text
+NORM_SQL = "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+# word 3-shingles as a CTE over documents (doc_id, shingle) DISTINCT
+SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS tk
+  FROM documents),
+idx AS (
+  SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 2)) AS i
+  FROM toks WHERE len(tk) >= 3),
+shingles AS (
+  SELECT DISTINCT doc_id, CONCAT(tk[i], ' ', tk[i+1], ' ', tk[i+2]) AS shingle
+  FROM idx)
+"""
+
+
+# 1. exact dedup -------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from logstash_spark.datahub.dedup import exact_dedup
+
+    load_tables(spark, sf_dir, "documents")
+    return exact_dedup(spark.table("documents"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({NORM_SQL.format(col='text')}) AS content_hash,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# 2. minhash + LSH candidate pairs -------------------------------------------
+
+def q_dedup_minhash(spark, sf_dir):
+    from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+    load_tables(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(spark.table("documents"))
+
+
+_minhash_aggs = ",\n         ".join(
+    f"MIN(md5(CONCAT('{i}|', shingle))) AS h{i}" for i in range(8))
+ORACLE_DEDUP_MINHASH = f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_minhash_aggs}
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(CONCAT(h0, h1, h2, h3)) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(CONCAT(h4, h5, h6, h7)) AS band_hash FROM sigs)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# 3. simhash ------------------------------------------------------------------
+
+def q_dedup_simhash(spark, sf_dir):
+    from logstash_spark.datahub.dedup import simhash
+
+    load_tables(spark, sf_dir, "documents")
+    return simhash(spark.table("documents"))
+
+
+_sim_sums = ",\n         ".join(
+    f"SUM(CASE WHEN (h16 & {1 << b}) > 0 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16))
+_sim_fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split({NORM_SQL.format(col='text')}, ' ')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST(CONCAT('0x', SUBSTRING(md5(tok), 1, 4)) AS INT) AS h16
+  FROM toks WHERE tok <> ''),
+s AS (
+  SELECT doc_id,
+         {_sim_sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_sim_fp} AS BIGINT) AS simhash FROM s
+"""
+
+
+# 4. n-gram jaccard (bounded candidate window) ---------------------------------
+
+JACCARD_ID_WINDOW = 25
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from logstash_spark.datahub.dedup import ngram_jaccard_pairs
+
+    load_tables(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        spark.table("documents"),
+        pair_pred=lambda a, b: (b - a) <= JACCARD_ID_WINDOW,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND b.doc_id - a.doc_id <= {JACCARD_ID_WINDOW}
+  GROUP BY 1, 2)
+SELECT i.a, i.b, i.inter,
+       i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# 5. brute-force cosine top-k ----------------------------------------------------
+
+TOPK_K = 5
+N_QUERIES = 8
+
+
+def _emb_double(spark, sf_dir):
+    load_tables(spark, sf_dir, "embeddings")
+    return spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    from logstash_spark.datahub.similarity import brute_force_topk
+
+    ed = _emb_double(spark, sf_dir)
+    queries = (ed.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return brute_force_topk(ed, queries, k=TOPK_K)
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+# 6. IVF-bucketed ANN -------------------------------------------------------------
+
+CENTROID_STEP = 97
+
+
+def q_ann_ivf(spark, sf_dir):
+    from logstash_spark.datahub.similarity import ivf_topk
+
+    ed = _emb_double(spark, sf_dir)
+    centroids = (ed.filter(F.pmod("vec_id", F.lit(CENTROID_STEP)) == 0)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = (ed.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(ed, queries, centroids, k=TOPK_K)
+
+
+ORACLE_ANN_IVF = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.centroid_id ASC) AS rn
+  FROM embeddings e, c),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+      FROM assigned WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, q.centroid_id, a.vec_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM q JOIN assigned a
+    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, centroid_id, vec_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+# 7. language ID --------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    from logstash_spark.datahub.textstats import lang_id
+
+    load_tables(spark, sf_dir, "documents")
+    return lang_id(spark.table("documents")).select("doc_id", "lang", "pred_lang")
+
+
+def _marker_sql(words):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_marker_sql(['the','and','of','to','is'])} AS s_en,
+         {_marker_sql(['el','la','de','que','los'])} AS s_es,
+         {_marker_sql(['der','die','und','das','ist'])} AS s_de,
+         {_marker_sql(['le','la','les','des','est'])} AS s_fr,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+       WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+       WHEN s_de > GREATEST(s_en, s_es) THEN 'de'
+       WHEN s_es > s_en THEN 'es'
+       ELSE 'en' END AS pred_lang
+FROM s
+"""
+
+
+# 8. quality + token stats ------------------------------------------------------------
+
+def q_quality(spark, sf_dir):
+    from logstash_spark.datahub.textstats import quality_score, token_stats
+
+    load_tables(spark, sf_dir, "documents")
+    out = quality_score(token_stats(spark.table("documents")))
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_calc",
+                      "stop_ratio", "punct_ratio", "alpha_ratio", "quality")
+
+
+ORACLE_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(text) AS n_chars_calc,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars_calc,
+       n_stop / n_ws_tokens AS stop_ratio,
+       n_punct / n_chars_calc AS punct_ratio,
+       n_alpha / n_chars_calc AS alpha_ratio,
+       CASE WHEN n_ws_tokens < 5 THEN 0.0
+            ELSE (n_stop / n_ws_tokens) * 0.5 + (n_alpha / n_chars_calc) * 0.5
+       END AS quality
+FROM s
+"""
+
+
+# 9. doc fingerprint --------------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    from logstash_spark.datahub.textstats import doc_fingerprint
+
+    load_tables(spark, sf_dir, "documents")
+    return doc_fingerprint(spark.table("documents")).select(
+        "doc_id", "fp_full", "fp_prefix", "len_bucket")
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp_full,
+       md5(SUBSTRING(norm, 1, 64)) AS fp_prefix,
+       CAST(FLOOR(length(norm) / 64) AS BIGINT) AS len_bucket
+FROM n
+"""
+
+
+# 10. multimodal plumbing (mapInPandas feature extraction, stubbed decode) -----------------
+
+def q_multimodal(spark, sf_dir):
+    from logstash_spark.datahub.multimodal import synthesize_media, extract_features
+
+    load_tables(spark, sf_dir, "documents")
+    media = synthesize_media(spark.table("documents"), "doc_id", "text")
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "mime", "payload_sha",
+        F.col("feat")[0].alias("feat0"),
+        F.col("feat")[7].alias("feat7"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+WITH h AS (SELECT doc_id AS media_id, 'image/fake' AS mime,
+                  sha256(text) AS payload_sha FROM documents)
+SELECT media_id, mime, payload_sha,
+       CAST(CONCAT('0x', SUBSTRING(payload_sha, 1, 2)) AS INT) / 255.0 AS feat0,
+       CAST(CONCAT('0x', SUBSTRING(payload_sha, 15, 2)) AS INT) / 255.0 AS feat7
+FROM h
+"""
+
+
+# 11. LSH hyperplane bucketing (deterministic planes; rows-only would be weak,
+#     but the planes are md5-derived so the oracle CAN recompute sign bits —
+#     however 64-dim dot products in SQL are unwieldy; keep rows-only.)
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from logstash_spark.datahub.similarity import random_hyperplane_buckets
+
+    ed = _emb_double(spark, sf_dir)
+    b = random_hyperplane_buckets(ed, n_planes=8, dim=64)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"),
+                                   F.min("vec_id").alias("min_vec_id"))
+
+
+DATAHUB_CATALOG: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "text_quality": (q_quality, ORACLE_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
+}

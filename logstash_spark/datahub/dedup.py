@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard verification.  All implementations are
+pure DataFrame ops — the hashes are md5/xxhash64 JVM expressions, shingling
+is explode over a sequence (no Python in the hot path) — so each scales as:
+narrow map (shingle/hash) -> one shuffle on the bucket key -> bucket-local
+self-join.  That is the standard web-scale near-dup shape: candidate
+generation is O(n) with small constants; the quadratic verify only runs
+inside buckets.
+
+Skew note: a degenerate band value (e.g. all-empty docs) would create a hot
+bucket; filter out signatures of near-empty docs (min_tokens) before the
+bucket join and rely on AQE skew-join splitting for the remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+BAND_SIZE = 4  # 2 bands of 4 -> candidate if either band collides
+
+
+def normalize_text(col: Column) -> Column:
+    """lower, strip non-alnum (keep spaces), collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups over normalized text.
+
+    Returns one row per distinct content: keeper (min id) + dup_count.
+    Single shuffle on the content hash; map-side partial agg applies.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: explode over token offsets.
+
+    explode(sequence(...)) keeps everything JVM-side; one narrow stage.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks"))
+    d = d.filter(F.col("__n") >= n)
+    d = d.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))))
+    shingle = F.concat_ws(
+        " ", *[F.element_at("__toks", F.col("__i") + k) for k in range(n)])
+    return d.select(id_col, shingle.alias("shingle")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc minhash signature: h_i = min(md5(i || '|' || shingle)).
+
+    Lexicographic min of a salted md5 hex digest is a valid min-hash family;
+    it has the advantage of being reproducible in ANY engine (the DuckDB
+    oracle computes the identical signature).  One shuffle (groupBy doc).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_MINHASH,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """Band the signatures; docs sharing any band hash become a candidate
+    pair (a < b).  Shuffle key = (band_id, band_hash): bucket-local join."""
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        part = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("", *cols)).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+    b_ = bands.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b_, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash+LSH near-dup candidate pipeline."""
+    sh = word_shingles(df, text_col, id_col)
+    sigs = minhash_signatures(sh, id_col)
+    return lsh_candidate_pairs(sigs, id_col)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        pair_pred=None, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs via an inverted
+    shingle index: explode -> join on shingle -> count intersections ->
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    `pair_pred(a_id_col, b_id_col)` bounds the candidate space (e.g. the
+    LSH pairs, or a locality predicate) — without it this is O(n^2) in the
+    worst case of one shared shingle across all docs.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    pairs = a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+    if pair_pred is not None:
+        pairs = pairs.filter(pair_pred(F.col("a"), F.col("b")))
+    inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "inter", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token take `bits` bits of md5; the
+    fingerprint's bit b is 1 iff sum over tokens of (+1/-1 for bit b) > 0.
+
+    Pure expressions: token explode -> per-bit conditional sum -> bit
+    reassembly.  One shuffle on doc id."""
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    d = df.select(F.col(id_col), toks).filter(F.col("tok") != "")
+    hx = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    d = d.select(id_col, hx.alias("h16"))
+    aggs = [
+        F.sum(F.when(F.col("h16").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1))
+        .alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = d.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return per_doc.select(id_col, fp.cast("long").alias("simhash"))
