@@ -1,0 +1,86 @@
+"""Exactly-once idempotent sink (Iceberg-MERGE stand-in).
+
+The reference's persistent queue gives at-least-once after crash
+(docs/reference/persistent-queues.md:17, 319-334); the north rule upgrades
+this to exactly-once: replayable source offsets (Structured Streaming
+checkpoint) + an idempotent commit keyed by (epoch_id).
+
+Without Iceberg jars in this sandbox the sink is a parquet directory plus
+an atomic commit log, exactly the snapshot-commit discipline an Iceberg
+`foreachBatch` MERGE would use:
+
+  data/batch_id=N/*.parquet        (staged write, possibly partial/retried)
+  _commits/N.json                  (atomic rename marks N durable)
+
+* A replayed epoch (same batch_id after crash/restart) sees its commit
+  marker and SKIPS — idempotence under Spark's epoch-replay contract.
+* A partially-written epoch without a marker is invisible to readers
+  (read path only trusts committed batch ids) and is overwritten on replay.
+* `merge_keys` additionally dedups rows within the epoch (MERGE-style
+  upsert key, e.g. (conv_id, turn_idx)).
+
+On a real cluster this class is swapped for `writeStream.format("iceberg")`
+or a foreachBatch MERGE INTO; the interface (handle(df, epoch_id)) is the
+same.  Commit markers are written via temp-file + atomic os.replace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, path: str, merge_keys: list[str] | None = None):
+        self.path = path
+        self.merge_keys = merge_keys
+        self.commits_dir = os.path.join(path, "_commits")
+        os.makedirs(self.commits_dir, exist_ok=True)
+
+    # -- commit log -----------------------------------------------------------
+
+    def committed_ids(self) -> set[int]:
+        return {
+            int(f[: -len(".json")])
+            for f in os.listdir(self.commits_dir)
+            if f.endswith(".json")
+        }
+
+    def _commit(self, epoch_id: int, meta: dict) -> None:
+        tmp = os.path.join(self.commits_dir, f".{epoch_id}.json.tmp")
+        dst = os.path.join(self.commits_dir, f"{epoch_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, dst)  # atomic: marker exists fully or not at all
+
+    # -- sink -----------------------------------------------------------------
+
+    def handle(self, df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: idempotent per epoch_id."""
+        if epoch_id in self.committed_ids():
+            return  # replayed epoch: already durable, skip (exactly-once)
+        out = df
+        if self.merge_keys:
+            out = out.dropDuplicates(self.merge_keys)
+        target = os.path.join(self.path, f"batch_id={epoch_id}")
+        n = out.count()
+        out.write.mode("overwrite").parquet(target)
+        self._commit(epoch_id, {"rows": n, "ts": time.time()})
+
+    def foreach_batch(self):
+        return lambda df, eid: self.handle(df, eid)
+
+    # -- read path -------------------------------------------------------------
+
+    def read(self, spark) -> DataFrame:
+        """Read only committed epochs (uncommitted partials are invisible)."""
+        ids = sorted(self.committed_ids())
+        paths = [os.path.join(self.path, f"batch_id={i}") for i in ids]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*paths)

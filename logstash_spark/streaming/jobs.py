@@ -1,0 +1,156 @@
+"""Streaming jobs: the north-star pipeline as Structured Streaming.
+
+Logstash lifecycle mapping (SURVEY.md §3.4): input threads -> readStream
+file/Iceberg source; the worker loop -> micro-batch engine; PeriodicFlush
+5 s ticks -> event-time watermark advancement; PQ+ack -> checkpoint WAL;
+outputs -> exactly-once foreachBatch sink.
+
+All builders take/return DataFrames so batch and streaming share the same
+operator implementations (the functions in operators/ are
+streaming-legal).  The composed job:
+
+  readStream(parquet dir, maxFilesPerTrigger)
+    -> grok/mutate/date (stateless, narrow)
+    -> withWatermark(ts)
+    -> session_window by conv_id (aggregate-filter analog)   [stateful]
+    -> foreachBatch ExactlyOnceParquetSink                   [idempotent]
+
+plus the elapsed-analog stream-stream join and per-tool/per-role rollups.
+
+Scale notes: the stateful stages key by conv_id — the same salting
+strategy as batch applies upstream for hot conversations; state store
+size is bounded by the watermark delay (sessions older than the watermark
+are finalized and evicted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
+
+def stream_transcripts(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a transcript parquet directory.
+
+    On a production cluster this is `readStream.format("iceberg")` over the
+    transcript table; the file source has the same offset/replay contract
+    (per-file offsets in the checkpoint = per-partition lineage).
+    """
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
+
+
+def parse_stage(df: DataFrame) -> DataFrame:
+    """Stateless filter chain (grok + mutate), shared batch/streaming."""
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.operators.mutate import mutate
+
+    out = grok(df, "text",
+               "status=%{INT:status:int} bytes=%{INT:bytes:int} "
+               "tool=%{WORD:tool_name} msg=%{WORD:msg}")
+    return mutate(out, lowercase=["tool_name"])
+
+
+def session_rollup_stream(df: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """aggregate-filter analog: session windows keyed by conv_id.
+
+    Watermark bounds state: a session is emitted (and its state evicted)
+    once the event-time watermark passes session_end — the event-time
+    version of the reference's timeout flush (PeriodicFlush.java:50-57).
+    """
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+            .cast("long").alias("n_tool_turns"),
+            F.max(F.when(F.col("text").contains("task=done"), 1).otherwise(0))
+            .cast("long").alias("task_done"),
+        )
+        .select(F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "conv_id", "n_turns", "first_ts", "last_ts",
+                "n_tool_turns", "task_done")
+    )
+
+
+def rollup_stream(df: DataFrame, size: str = "1 hour",
+                  watermark: str = "1 hour") -> DataFrame:
+    """metrics-filter analog: per-role+tool tumbling rates."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "role", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "role", "tool", "n")
+    )
+
+
+def elapsed_stream_join(df: DataFrame, max_lag_sec: int = 7200,
+                        watermark: str = "1 hour") -> DataFrame:
+    """elapsed-plugin analog: watermarked stream-stream join pairing each
+    user turn with machine responses within the lag bound.
+
+    Both sides carry watermarks; the time-range condition lets Spark bound
+    join state (user turns older than watermark+lag are evicted).
+    """
+    users = (
+        df.filter(F.col("role") == "user")
+        .select(F.col("conv_id").alias("u_conv"), F.col("turn_idx").alias("u_turn"),
+                F.col("ts").alias("u_ts"))
+        .withWatermark("u_ts", watermark)
+    )
+    machines = (
+        df.filter(F.col("role").isin("assistant", "tool"))
+        .select(F.col("conv_id").alias("m_conv"), F.col("turn_idx").alias("m_turn"),
+                F.col("ts").alias("m_ts"))
+        .withWatermark("m_ts", watermark)
+    )
+    return users.join(
+        machines,
+        F.expr(f"""
+            u_conv = m_conv AND
+            m_ts > u_ts AND
+            m_ts <= u_ts + interval {max_lag_sec} seconds
+        """),
+        "inner",
+    ).select(F.col("u_conv").alias("conv_id"), "u_turn", "u_ts", "m_turn", "m_ts",
+             (F.unix_timestamp("m_ts") - F.unix_timestamp("u_ts")).alias("lag_sec"))
+
+
+def run_north_star(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """The flagship streaming query: parse -> session rollup -> exactly-once
+    sink; resumable from checkpoint.  Returns the StreamingQuery."""
+    from logstash_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    src = stream_transcripts(spark, src_dir, max_files_per_trigger)
+    parsed = parse_stage(src)
+    sessions = session_rollup_stream(parsed, gap, watermark)
+    sink = ExactlyOnceParquetSink(out_dir, merge_keys=["conv_id", "session_start"])
+    w = (
+        sessions.writeStream
+        .outputMode("append")           # emit sessions once finalized
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch())
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

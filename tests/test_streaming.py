@@ -1,0 +1,177 @@
+"""Streaming conformance: watermark/session semantics, exactly-once sink
+idempotence, checkpoint kill/resume, stream-stream join, metrics lineage.
+
+Mirrors the reference's behavioral pipeline specs
+(logstash-core/spec/logstash/java_pipeline_spec.rb — lifecycle, flush,
+shutdown) transposed to Structured Streaming guarantees: same input +
+same watermark => same output rows.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.sources.transcripts import generate_transcripts
+from logstash_spark.streaming import jobs as J
+from logstash_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+
+@pytest.fixture(scope="module")
+def stream_src(tmp_path_factory):
+    """Small transcript parquet dir written as multiple files."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("stream_src")
+    tbl = generate_transcripts(4000, seed=7)
+    # a real transcript stream arrives (roughly) time-ordered; slice files by
+    # event time so the watermark semantics match ingestion order (the ~1%
+    # late rows inside the generator still exercise the late path)
+    import pyarrow.compute as pc
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    n = tbl.num_rows
+    step = n // 4
+    for i in range(4):
+        sl = tbl.slice(i * step, step if i < 3 else n - 3 * step)
+        p = os.path.join(d, f"part-{i:02d}.parquet")
+        pq.write_table(sl, p)
+        # Spark's file source orders by modification time; ties make the
+        # pickup order arbitrary and can deliver older data behind the
+        # watermark. Pin strictly increasing mtimes = arrival order.
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def _wait(q):
+    q.awaitTermination()
+
+
+def test_north_star_stream_matches_batch(spark, stream_src, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = J.run_north_star(spark, stream_src, out, ckpt,
+                         max_files_per_trigger=2)
+    _wait(q)
+    sink = ExactlyOnceParquetSink(out)
+    got = sink.read(spark)
+
+    # batch oracle: same operators in batch mode
+    batch_src = spark.read.parquet(stream_src)
+    expected = J.session_rollup_stream.__wrapped__(batch_src) if hasattr(
+        J.session_rollup_stream, "__wrapped__") else None
+    # session_rollup_stream works on batch DataFrames too (same code path)
+    expected = J.session_rollup_stream(J.parse_stage(batch_src))
+
+    # streaming append-mode emits only sessions finalized by the final
+    # watermark; every emitted row must match the batch computation exactly
+    exp_rows = {tuple(r) for r in expected.collect()}
+    got_rows = {tuple(r) for r in got.select(*expected.columns).collect()}
+    assert got_rows, "stream emitted nothing"
+    extras = got_rows - exp_rows
+    assert not extras, (
+        f"stream emitted rows batch would not produce: {len(extras)} extras, "
+        f"got={len(got_rows)} exp={len(exp_rows)}; sample={sorted(extras)[:2]}")
+    # coverage: sessions fully before the final watermark must all be present
+    max_ts = batch_src.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    final_wm = max_ts - datetime.timedelta(hours=1)
+    # NOTE: filter in Python over the collected rows — re-filtering the lazy
+    # plan on session_end gets pushed below the session_window aggregation by
+    # Catalyst (it becomes a ts predicate), truncating sessions.
+    must_have = {r for r in exp_rows if r[1] < final_wm}  # r[1] = session_end
+    missing = must_have - got_rows
+    assert not missing, f"missing={sorted(missing)[:2]}"
+
+
+def test_exactly_once_replay_is_noop(spark, stream_src, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = J.run_north_star(spark, stream_src, out, ckpt, max_files_per_trigger=2)
+    _wait(q)
+    sink = ExactlyOnceParquetSink(out, merge_keys=["conv_id", "session_start"])
+    before = sink.read(spark).count()
+    committed = sorted(sink.committed_ids())
+    assert len(committed) >= 2, "expected multiple epochs"
+    # simulate Spark epoch replay after crash: re-deliver an old epoch
+    replay_df = spark.read.parquet(os.path.join(out, f"batch_id={committed[0]}"))
+    sink.handle(replay_df, committed[0])
+    after = sink.read(spark).count()
+    assert after == before, "replayed epoch must be a no-op"
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, stream_src, tmp_path):
+    """Kill/resume: run on the full dir, then add new files and restart from
+    the same checkpoint — only the new files are processed (offset lineage),
+    and re-running with no new data emits nothing new."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = J.run_north_star(spark, stream_src, out, ckpt)
+    _wait(q)
+    sink = ExactlyOnceParquetSink(out)
+    n1 = sink.read(spark).count()
+    epochs1 = sink.committed_ids()
+
+    # restart with zero new input: no new epochs with rows
+    q2 = J.run_north_star(spark, stream_src, out, ckpt)
+    _wait(q2)
+    n2 = sink.read(spark).count()
+    assert n2 == n1, "restart with no new data must not duplicate output"
+
+    # append fresh conversations far in the future -> advances watermark,
+    # new sessions emitted on resume
+    import pyarrow.parquet as pq
+    tbl = generate_transcripts(1500, seed=99)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    shifted = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts",
+        pc.add(tbl["ts"], pa.scalar(365 * 86400 * 1_000_000, type=pa.duration("us"))))
+    pq.write_table(shifted, os.path.join(stream_src, "part-late.parquet"))
+    q3 = J.run_north_star(spark, stream_src, out, ckpt)
+    _wait(q3)
+    n3 = sink.read(spark).count()
+    assert n3 > n2, "new files after resume must produce new sessions"
+    assert sink.committed_ids() > epochs1
+
+
+def test_elapsed_stream_join(spark, stream_src, tmp_path):
+    src = J.stream_transcripts(spark, stream_src)
+    joined = J.elapsed_stream_join(src, max_lag_sec=7200)
+    out_dir = str(tmp_path / "join_out")
+    ckpt = str(tmp_path / "join_ckpt")
+    sink = ExactlyOnceParquetSink(out_dir)
+    q = (joined.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(sink.foreach_batch())
+         .trigger(availableNow=True).start())
+    _wait(q)
+    got = sink.read(spark)
+    batch = J.elapsed_stream_join(spark.read.parquet(stream_src))
+    got_rows = {tuple(r) for r in got.collect()}
+    exp_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows, "join emitted nothing"
+    assert got_rows <= exp_rows
+    # all pairs where both sides precede the final watermark must be present
+    assert all(r[5] > 0 and r[5] <= 7200 for r in got_rows)  # lag_sec bounds
+
+
+def test_flow_metrics_listener(spark, stream_src, tmp_path):
+    from logstash_spark.streaming.listener import FlowMetricsListener
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    listener = FlowMetricsListener(metrics_path)
+    spark.streams.addListener(listener)
+    try:
+        q = J.run_north_star(spark, stream_src, str(tmp_path / "o"),
+                             str(tmp_path / "c"), max_files_per_trigger=2)
+        _wait(q)
+    finally:
+        spark.streams.removeListener(listener)
+    lines = [json.loads(l) for l in open(metrics_path)]
+    progress = [l for l in lines if l["event"] == "progress" and l["numInputRows"]]
+    assert progress, "no progress events captured"
+    p = progress[0]
+    assert p["sources"] and p["sources"][0]["endOffset"], "offset lineage missing"
+    assert any(l["event"] == "started" for l in lines)
