@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+* ``value`` — wall-clock seconds of the north-star streaming pipeline
+  (grok + mutate + session-window + exactly-once sink) over the seeded
+  transcript stream at the same SF (BASELINE.json's authoritative metric);
+  the derived turns/sec is reported as ``turns_per_sec``.
+* ``queries`` — per-query batch wall-clock seconds for the headline subset
+  of the operator catalog, each forced end-to-end with a ``noop``-format
+  write (full pipeline execution, no driver collect).
+
+Set ``SPARK_GRAFT_BENCH_ALL=1`` to time every catalog query instead of the
+headline subset.  Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by ``tools/scaling.py`` and recorded in ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "grok", "dissect", "mutate", "date", "kv",
+    "conditional", "fingerprint",
+    "session_window", "tumbling_rollup", "sliding_rollup",
+    "throttle", "aggregate_end_of_task", "elapsed",
+    "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
+    "lang_id", "text_quality",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan distributed-side; return row count.
+
+    noop write executes every task without shipping rows to the driver;
+    a cheap count supplies the rows/sec denominators.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def bench_batch(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from __spark_entry__ import queries
+
+    qs = queries()
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_north_star(spark, sf: float) -> dict:
+    """Streaming north-star: parse -> session windows -> exactly-once sink,
+    availableNow over the seeded transcript stream at this SF."""
+    from logstash_spark.sources.transcripts import ensure_transcripts_parquet
+    from logstash_spark.streaming.jobs import run_north_star
+
+    src = ensure_transcripts_parquet(sf)
+    n_turns = spark.read.parquet(src).count()
+    work = tempfile.mkdtemp(prefix="bench_ns_")
+    try:
+        t0 = time.perf_counter()
+        q = run_north_star(
+            spark, src,
+            out_dir=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        # sink layout: out/batch_id=N/*.parquet (+ hidden _commits log)
+        n_sessions = spark.read.parquet(os.path.join(work, "out")).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "sec": round(elapsed, 3),
+        "turns": n_turns,
+        "sessions": n_sessions,
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from logstash_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    names = HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        from __spark_entry__ import queries
+        names = list(queries())
+
+    t_all0 = time.perf_counter()
+    per_query = bench_batch(spark, sf_dir, names)
+    ns = bench_north_star(spark, sf)
+    total = time.perf_counter() - t_all0
+
+    result = {
+        "metric": ("end-to-end turns/sec through grok+mutate+session-window "
+                   "streaming pipeline (exactly-once sink), availableNow"),
+        "value": ns["sec"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "turns": ns["turns"],
+        "sessions": ns["sessions"],
+        "turns_per_sec": ns["turns_per_sec"],
+        "batch_total_sec": round(sum(per_query.values()), 3),
+        "wall_sec": round(total, 3),
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
