@@ -636,6 +636,287 @@ GROUP BY s.conv_id, s.turn_idx, s.ts
 """)
 
 
+
+
+# ---------------------------------------------------------------------------
+# 22. geoip (broadcast range join over CIDR blocks)
+# ---------------------------------------------------------------------------
+
+GEO_BLOCKS = [
+    ("10.0.0.0/9", "US", "new-york"),     # x in [0,127]
+    ("10.128.0.0/10", "DE", "berlin"),    # x in [128,191]
+    # x in [192,255] intentionally uncovered -> lookup-failure tag
+]
+
+
+def q_geoip(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.operators.enrich import cidr_blocks_df, geoip
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL).filter(F.col("status").isNotNull())
+    t = t.withColumn("ip", F.concat(F.lit("10."), F.pmod("bytes", F.lit(256)).cast("string"),
+                                    F.lit(".0."), F.pmod("status", F.lit(256)).cast("string")))
+    blocks = cidr_blocks_df(spark, GEO_BLOCKS)
+    out = geoip(t, "ip", blocks)
+    return out.select("conv_id", "turn_idx", "ip", "geo_country", "geo_city",
+                      F.array_contains("tags", "_geoip_lookup_failure").alias("geo_missed"))
+
+
+ORACLE_GEOIP = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes
+  FROM transcripts),
+f AS (SELECT conv_id, turn_idx, bytes % 256 AS x, status % 256 AS y
+      FROM g WHERE status IS NOT NULL)
+SELECT conv_id, turn_idx,
+       CONCAT('10.', CAST(x AS VARCHAR), '.0.', CAST(y AS VARCHAR)) AS ip,
+       CASE WHEN x <= 127 THEN 'US' WHEN x <= 191 THEN 'DE' END AS geo_country,
+       CASE WHEN x <= 127 THEN 'new-york' WHEN x <= 191 THEN 'berlin' END AS geo_city,
+       x >= 192 AS geo_missed
+FROM f
+""")
+
+
+# ---------------------------------------------------------------------------
+# 23. useragent (ordered regex rule table)
+# ---------------------------------------------------------------------------
+
+UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0.6099 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 14_1) AppleWebKit/605.1 Version/17.1 Safari/605.1",
+    "curl/8.4.0",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+]
+
+
+def q_useragent(spark, sf_dir):
+    from logstash_spark.operators.enrich import useragent
+
+    t = _t(spark, sf_dir)
+    ua_arr = F.array(*[F.lit(u) for u in UA_SAMPLES])
+    t = t.withColumn("ua", F.element_at(ua_arr, F.pmod("turn_idx", F.lit(4)) + 1))
+    out = useragent(t, "ua")
+    return out.select("conv_id", "turn_idx", "ua_name", "ua_version", "ua_os")
+
+
+_UA_EXPECT = [("Chrome", "120.0.6099", "Windows"),
+              ("Safari", "17.1", "macOS"),
+              ("curl", "8.4.0", "Other"),
+              ("Firefox", "121.0", "Linux")]
+_ua_name = " ".join(f"WHEN {i} THEN '{n}'" for i, (n, _, _) in enumerate(_UA_EXPECT))
+_ua_ver = " ".join(f"WHEN {i} THEN '{v}'" for i, (_, v, _) in enumerate(_UA_EXPECT))
+_ua_os = " ".join(f"WHEN {i} THEN '{o}'" for i, (_, _, o) in enumerate(_UA_EXPECT))
+ORACLE_USERAGENT = oracle_with_transcripts(f"""
+SELECT conv_id, turn_idx,
+       CASE turn_idx % 4 {_ua_name} END AS ua_name,
+       CASE turn_idx % 4 {_ua_ver} END AS ua_version,
+       CASE turn_idx % 4 {_ua_os} END AS ua_os
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 24. multiline codec (RAW| lines continue the previous event)
+# ---------------------------------------------------------------------------
+
+def q_multiline(spark, sf_dir):
+    from logstash_spark.operators.codecs import multiline_assemble
+
+    t = _t(spark, sf_dir)
+    out = multiline_assemble(t, "text", "conv_id", "turn_idx",
+                             pattern=r"^status=", negate=True, what="previous")
+    return out.select("conv_id", "event_idx", "message", "n_lines", "first_turn_idx")
+
+
+ORACLE_MULTILINE = oracle_with_transcripts("""
+WITH marked AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN regexp_matches(text, '^status=') THEN 1 ELSE 0 END AS is_start
+  FROM transcripts),
+numbered AS (
+  SELECT conv_id, turn_idx, text,
+         SUM(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS event_idx
+  FROM marked)
+SELECT conv_id, event_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS message,
+       COUNT(*) AS n_lines,
+       MIN(turn_idx) AS first_turn_idx
+FROM numbered GROUP BY conv_id, event_idx
+""")
+
+
+# ---------------------------------------------------------------------------
+# 25. DLQ routing (failure branch with reason column)
+# ---------------------------------------------------------------------------
+
+def q_dlq_route(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.operators.dlq import dlq_split
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL)
+    _ok, dlq = dlq_split(t, [
+        (F.array_contains("tags", "_grokparsefailure"), "grok_parse_failure"),
+        (F.col("bytes") > 4900, "oversize_payload"),
+    ])
+    return dlq.select("conv_id", "turn_idx", "dlq_reason")
+
+
+ORACLE_DLQ = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes,
+         NOT regexp_matches(text, '{GROK_SQL_PAT}') AS gf
+  FROM transcripts)
+SELECT conv_id, turn_idx,
+       CASE WHEN gf THEN 'grok_parse_failure'
+            WHEN bytes > 4900 THEN 'oversize_payload' END AS dlq_reason
+FROM g WHERE gf OR bytes > 4900
+""")
+
+
+# ---------------------------------------------------------------------------
+# 26. metrics rates (1h/6h/1d multi-window rollups per role)
+# ---------------------------------------------------------------------------
+
+def q_metrics_rates(spark, sf_dir):
+    from logstash_spark.operators.windows import metrics_rates
+
+    t = _t(spark, sf_dir)
+    out = metrics_rates(t, "ts", ["role"], ["1 hour", "6 hours", "1 day"])
+    return out.select("window_size", "window_start", "role", "n", "rate_per_sec")
+
+
+_rate_union = []
+for size, secs in [("1 hour", 3600), ("6 hours", 21600), ("1 day", 86400)]:
+    _rate_union.append(f"""
+SELECT '{size}' AS window_size,
+       to_timestamp((CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT)) * {secs}) AS window_start,
+       role, COUNT(*) AS n, COUNT(*) / {secs}.0 AS rate_per_sec
+FROM transcripts GROUP BY 2, 3""")
+ORACLE_METRICS_RATES = oracle_with_transcripts(" UNION ALL ".join(_rate_union))
+
+
+# ---------------------------------------------------------------------------
+# 27. prune + de_dot + urldecode
+# ---------------------------------------------------------------------------
+
+def q_prune_dedot_urldecode(spark, sf_dir):
+    from logstash_spark.operators.misc import prune, de_dot, urldecode
+
+    t = _t(spark, sf_dir)
+    # percent-encode deterministically, then decode back with the operator
+    enc = F.regexp_replace(F.regexp_replace(F.col("text"), "=", "%3D"), " ", "%20")
+    t = t.withColumn("enc.payload", enc)      # dotted name for de_dot
+    t = de_dot(t)                             # enc.payload -> enc_payload
+    t = urldecode(t, "enc_payload", target="dec_payload")
+    return prune(t, whitelist=["conv_id", "turn_idx", "enc_payload", "dec_payload"])
+
+
+ORACLE_PRUNE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       replace(replace(text, '=', '%3D'), ' ', '%20') AS enc_payload,
+       text AS dec_payload
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 28. xml parse
+# ---------------------------------------------------------------------------
+
+def q_xml(spark, sf_dir):
+    from logstash_spark.operators.parsers import xml_filter
+
+    t = _t(spark, sf_dir)
+    xml = F.concat(F.lit('<turn><role>'), F.col("role"),
+                   F.lit('</role><idx>'), F.col("turn_idx").cast("string"),
+                   F.lit('</idx></turn>'))
+    staged = t.withColumn("xml_raw", xml)
+    out = xml_filter(staged, "xml_raw", "role string, idx long", target="x")
+    return out.select("conv_id", "turn_idx",
+                      F.col("x.role").alias("xml_role"),
+                      F.col("x.idx").alias("xml_idx"))
+
+
+ORACLE_XML = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       regexp_extract(CONCAT('<turn><role>', role, '</role><idx>',
+                             CAST(turn_idx AS VARCHAR), '</idx></turn>'),
+                      '<role>(.*?)</role>', 1) AS xml_role,
+       CAST(regexp_extract(CONCAT('<turn><role>', role, '</role><idx>',
+                                  CAST(turn_idx AS VARCHAR), '</idx></turn>'),
+                           '<idx>(.*?)</idx>', 1) AS BIGINT) AS xml_idx
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 29. token counting (whitespace + BPE-ish) over documents
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    from logstash_spark.datahub.textstats import token_stats
+
+    load_tables(spark, sf_dir, "documents")
+    out = token_stats(spark.table("documents"), "text")
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 30. embedding-cosine near-dup (exact w/ oracle; LSH path rows-only)
+# ---------------------------------------------------------------------------
+
+def _near_dup_corpus(spark, sf_dir):
+    """embeddings + deterministic scaled clones of vec_id<50 (cosine==1)."""
+    load_tables(spark, sf_dir, "embeddings")
+    base = spark.table("embeddings").select("vec_id", "embedding")
+    clones = (base.filter(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding")))
+    return base.unionByName(clones)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from logstash_spark.datahub.dedup import embedding_cosine_pairs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = embedding_cosine_pairs(corpus, threshold=0.999, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cos", 2).alias("cos_r"))
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.5)
+  FROM embeddings WHERE vec_id < 50)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 2) AS cos_r
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    from logstash_spark.datahub.dedup import embedding_cosine_pairs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = embedding_cosine_pairs(corpus, threshold=0.999, exact=False,
+                                   n_planes=4, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cos", 2).alias("cos_r"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -662,4 +943,14 @@ CATALOG: dict[str, tuple] = {
     "throttle": (q_throttle, ORACLE_THROTTLE),
     "aggregate_end_of_task": (q_end_of_task, ORACLE_END_OF_TASK),
     "elapsed": (q_elapsed, ORACLE_ELAPSED),
+    "geoip": (q_geoip, ORACLE_GEOIP),
+    "useragent": (q_useragent, ORACLE_USERAGENT),
+    "multiline": (q_multiline, ORACLE_MULTILINE),
+    "dlq_route": (q_dlq_route, ORACLE_DLQ),
+    "metrics_rates": (q_metrics_rates, ORACLE_METRICS_RATES),
+    "prune_dedot_urldecode": (q_prune_dedot_urldecode, ORACLE_PRUNE),
+    "xml": (q_xml, ORACLE_XML),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
 }

@@ -161,3 +161,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else (fp + term)
     return per_doc.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(vectors, threshold: float = 0.95,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_planes: int = 4, dim: int = 64,
+                           exact: bool = False):
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= threshold).
+
+    Scale path (default): sign-LSH bucket the vectors first
+    (similarity.random_hyperplane_buckets) and compare only within-bucket —
+    the self-join shuffles on the bucket key instead of exploding O(N^2).
+    High-cosine pairs land in the same bucket with probability
+    (1 - acos(cos)/pi)^n_planes; callers trade recall vs cost via n_planes.
+    `exact=True` is the O(N^2) verification path for tests/oracles.
+    """
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datahub.similarity import cosine, random_hyperplane_buckets
+
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        j = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        buckets = random_hyperplane_buckets(vectors, n_planes=n_planes, dim=dim,
+                                            id_col=id_col, vec_col=vec_col)
+        a = a.join(buckets.withColumnRenamed(id_col, "id_a"), "id_a")
+        b = b.join(buckets.withColumnRenamed(id_col, "id_b"), "id_b")
+        j = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (j.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))

@@ -170,3 +170,36 @@ def elapsed_join(df: DataFrame, key_col: str, ts_col: str,
                     F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts"))
     )
     return first_end
+
+
+# -- metrics filter analog: multi-window rate rollups -----------------------------
+
+def metrics_rates(df: DataFrame, ts_col: str, keys: list[str],
+                  windows: list[str]) -> DataFrame:
+    """metrics filter's 1m/5m/15m rate family (plugins-metadata.json:181;
+    FlowMetric.java:31-50 retention windows): per-key event counts + rates
+    over several tumbling window sizes, unioned with a window_size tag.
+
+    Each window size is an independent groupBy over the same scan; Catalyst
+    reuses the shared scan+filter prefix, and each agg does map-side partial
+    aggregation before its single shuffle.
+    """
+    parts = []
+    for size in windows:
+        w = F.window(F.col(ts_col), size)
+        secs = F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))
+        parts.append(
+            df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(size).alias("window_size"),
+                F.col("w.start").alias("window_start"),
+                *keys,
+                "n",
+                (F.col("n") / secs).alias("rate_per_sec"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

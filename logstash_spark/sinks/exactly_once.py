@@ -66,8 +66,10 @@ class ExactlyOnceParquetSink:
         if self.merge_keys:
             out = out.dropDuplicates(self.merge_keys)
         target = os.path.join(self.path, f"batch_id={epoch_id}")
-        n = out.count()
         out.write.mode("overwrite").parquet(target)
+        # row count from parquet footers only — avoids recomputing the
+        # upstream plan (a count() here would run the whole pipeline twice)
+        n = out.sparkSession.read.parquet(target).count()
         self._commit(epoch_id, {"rows": n, "ts": time.time()})
 
     def foreach_batch(self):

@@ -1,0 +1,123 @@
+"""Unit tests for enrichment (geoip/useragent), codecs (multiline), DLQ
+routing, metrics rates, and embedding-cosine dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_geoip_range_join_and_miss_tag(spark):
+    from logstash_spark.operators.enrich import cidr_blocks_df, geoip
+
+    df = spark.createDataFrame(
+        [("a", "10.1.2.3"), ("b", "10.200.0.1"), ("c", "192.168.1.1")],
+        "id string, ip string")
+    blocks = cidr_blocks_df(spark, [("10.0.0.0/9", "US", "nyc"),
+                                    ("10.128.0.0/9", "DE", "berlin")])
+    out = {r["id"]: r for r in geoip(df, "ip", blocks).collect()}
+    assert out["a"]["geo_country"] == "US"
+    assert out["b"]["geo_city"] == "berlin"
+    assert out["c"]["geo_country"] is None
+    assert "_geoip_lookup_failure" in out["c"]["tags"]
+    assert "_geoip_lookup_failure" not in out["a"]["tags"]
+
+
+def test_useragent_rule_precedence(spark):
+    from logstash_spark.operators.enrich import useragent
+
+    # Chrome UA also contains "Safari" — Chrome rule must win
+    df = spark.createDataFrame(
+        [("chrome", "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.1 Safari/537.36"),
+         ("safari", "Mozilla/5.0 (Mac OS X) Version/17.1 Safari/605.1"),
+         ("none", "SomeBot/1.0")],
+        "id string, ua string")
+    out = {r["id"]: r for r in useragent(df, "ua").collect()}
+    assert out["chrome"]["ua_name"] == "Chrome"
+    assert out["chrome"]["ua_version"] == "120.0.1"
+    assert out["chrome"]["ua_os"] == "Windows"
+    assert out["safari"]["ua_name"] == "Safari"
+    assert out["none"]["ua_name"] == "Other"
+    assert out["none"]["ua_version"] is None
+
+
+def test_multiline_previous(spark):
+    from logstash_spark.operators.codecs import multiline_assemble
+
+    rows = [("c1", 0, "EVENT one"), ("c1", 1, "  cont a"), ("c1", 2, "  cont b"),
+            ("c1", 3, "EVENT two"), ("c2", 0, "EVENT solo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, line string")
+    out = multiline_assemble(df, "line", "conv_id", "turn_idx",
+                             pattern=r"^\s", negate=False, what="previous")
+    got = {(r["conv_id"], r["event_idx"]): r for r in out.collect()}
+    assert got[("c1", 1)]["message"] == "EVENT one\n  cont a\n  cont b"
+    assert got[("c1", 1)]["n_lines"] == 3
+    assert got[("c1", 2)]["message"] == "EVENT two"
+    assert got[("c2", 1)]["message"] == "EVENT solo"
+
+
+def test_multiline_next(spark):
+    from logstash_spark.operators.codecs import multiline_assemble
+
+    # lines ending with '\' attach to the NEXT line's event? no: in logstash
+    # `what => next` means the matching line belongs to the next event --
+    # i.e. a trailing-continuation marker joins the line(s) that follow.
+    rows = [("c1", 0, "part1 \\"), ("c1", 1, "part2"), ("c1", 2, "alone")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, line string")
+    out = multiline_assemble(df, "line", "conv_id", "turn_idx",
+                             pattern=r"\\$", negate=False, what="next")
+    msgs = sorted(r["message"] for r in out.collect())
+    assert msgs == ["alone", "part1 \\\npart2"]
+
+
+def test_dlq_split_first_reason_wins(spark):
+    from logstash_spark.operators.dlq import dlq_split, dlq_write, dlq_replay
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 5000), ("c", -1)], "id string, size long")
+    ok, dlq = dlq_split(df, [
+        (F.col("size") < 0, "negative"),
+        (F.col("size") > 4000, "oversize"),
+    ])
+    assert [r["id"] for r in ok.collect()] == ["a"]
+    got = {r["id"]: r["dlq_reason"] for r in dlq.collect()}
+    assert got == {"b": "oversize", "c": "negative"}
+
+
+def test_dlq_write_replay_roundtrip(spark, tmp_path):
+    from logstash_spark.operators.dlq import dlq_split, dlq_write, dlq_replay
+
+    df = spark.createDataFrame([("x", 9000)], "id string, size long")
+    _, dlq = dlq_split(df, [(F.col("size") > 4000, "oversize")])
+    p = str(tmp_path / "dlq")
+    dlq_write(dlq, p)
+    back = dlq_replay(spark, p)
+    assert back.count() == 1
+    assert back.first()["dlq_reason"] == "oversize"
+
+
+def test_metrics_rates_window_math(spark):
+    from logstash_spark.operators.windows import metrics_rates
+
+    df = spark.createDataFrame(
+        [("u", "2026-01-01 00:10:00"), ("u", "2026-01-01 00:50:00"),
+         ("u", "2026-01-01 01:10:00")],
+        "role string, ts_s string").withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = metrics_rates(df, "ts", ["role"], ["1 hour"]).collect()
+    by_start = {str(r["window_start"]): r for r in out}
+    assert by_start["2026-01-01 00:00:00"]["n"] == 2
+    assert abs(by_start["2026-01-01 00:00:00"]["rate_per_sec"] - 2 / 3600) < 1e-12
+    assert by_start["2026-01-01 01:00:00"]["n"] == 1
+
+
+def test_embedding_cosine_exact_vs_lsh(spark):
+    from logstash_spark.datahub.dedup import embedding_cosine_pairs
+
+    # 3 base vectors + 1 scaled clone of v0 (cosine 1.0 with v0)
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]), (100, [2.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_cosine_pairs(df, threshold=0.99, exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(0, 100)]
+    lsh = embedding_cosine_pairs(df, threshold=0.99, exact=False,
+                                 n_planes=4, dim=4).collect()
+    # identical-direction vectors always share every LSH bucket -> recall 1
+    assert [(r["id_a"], r["id_b"]) for r in lsh] == [(0, 100)]
