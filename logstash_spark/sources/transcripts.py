@@ -117,6 +117,7 @@ def generate_transcripts(
     base_turns: int = 20,
     malformed_frac: float = 0.02,
     late_frac: float = 0.01,
+    conv_offset: int = 0,
 ):
     """Return a pyarrow Table of ~n_turns synthetic transcript turns.
 
@@ -171,7 +172,7 @@ def generate_transcripts(
     text = np.where(is_last, A(text, " task=done"), text)
     text = np.where(malformed, A("RAW|", nbytes.astype("U6")), text)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_ord.astype("U8"), 8))
+    conv_id = np.char.add("conv-", np.char.zfill((conv_ord + conv_offset).astype("U10"), 10))
 
     tbl = pa.table(
         {
@@ -210,16 +211,25 @@ def ensure_transcripts_parquet(sf: float, out_root: str = "/root/repo/data") -> 
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
-    tbl = generate_transcripts(n_turns)
-    # split into row groups / files of ~200k rows for parallel scan
-    chunk = 200_000
-    n = tbl.num_rows
-    i = 0
+    # generate in <=5M-turn chunks (bounds numpy peak memory at large SF);
+    # each chunk gets a disjoint conv_id range so sessions never span chunks
+    gen_chunk = 5_000_000
+    chunk = 200_000          # rows per parquet file for parallel scan
     fidx = 0
-    while i < n:
-        pq.write_table(tbl.slice(i, chunk), os.path.join(path, f"part-{fidx:04d}.parquet"))
-        i += chunk
-        fidx += 1
+    remaining = n_turns
+    gidx = 0
+    while remaining > 0:
+        this = min(gen_chunk, remaining)
+        tbl = generate_transcripts(this, seed=42 + gidx,
+                                   conv_offset=gidx * 1_000_000)
+        i = 0
+        while i < tbl.num_rows:
+            pq.write_table(tbl.slice(i, chunk),
+                           os.path.join(path, f"part-{fidx:05d}.parquet"))
+            i += chunk
+            fidx += 1
+        remaining -= this
+        gidx += 1
     with open(marker, "w") as f:
         f.write("ok")
     return path

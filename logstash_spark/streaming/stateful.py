@@ -1,0 +1,124 @@
+"""Exact aggregate-filter CEP semantics via applyInPandasWithState.
+
+The reference's aggregate filter (plugin logstash-filter-aggregate,
+rakelib/plugins-metadata.json:79) keeps a per-task map across events and
+emits it as a new event on (a) `end_of_task => true`, or (b) timeout with
+`push_map_as_event_on_timeout` — the timeout check rides the periodic
+flush tick (logstash-core/src/main/java/org/logstash/execution/
+PeriodicFlush.java:50-57; flush API AbstractFilterDelegatorExt.java:154-175).
+It is single-worker-only in the reference (java_pipeline.rb:105-127).
+
+`session_window` aggregation (jobs.session_rollup_stream) covers the common
+gap-timeout case declaratively; THIS operator is the exact-CEP path the
+north star calls for: per-key mutable state + event-time timers, emitting
+
+* `end_of_task` — the moment a done-marker turn is processed (mid-stream,
+  not deferred to window close), state cleared, a later turn starts a
+  fresh accumulation (the reference's `task_id` reuse), and
+* `timeout` — when the event-time watermark passes last_activity + gap
+  (push_map_as_event_on_timeout), via GroupStateTimeout.EventTimeTimeout.
+
+Scale design: state is partitioned by conv_id (the same key every other
+stateful stage uses, so the shuffle partitioning is reused); per-group
+logic is pandas-vectorized over Arrow batches — the only Python loop is
+over done-marker segments within a (group, micro-batch), never over rows.
+Watermark bounds state exactly as it bounds the session windows.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = ("conv_id string, n_turns long, first_ts timestamp, "
+              "last_ts timestamp, n_tool_turns long, emit_reason string")
+STATE_SCHEMA = "n long, first_us long, last_us long, tools long"
+
+_US = 1_000_000
+
+
+def _emit(conv_id, n, first_us, last_us, tools, reason):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "conv_id": [conv_id],
+        "n_turns": [n],
+        "first_ts": [pd.Timestamp(first_us, unit="us")],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+        "n_tool_turns": [tools],
+        "emit_reason": [reason],
+    })
+
+
+def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
+    """Build the per-group stateful function (curried so gap/marker are
+    plain broadcast closures, no driver state)."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n, first_us, last_us, tools = state.get
+            state.remove()
+            yield _emit(conv_id, n, first_us, last_us, tools, "timeout")
+            return
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+        is_tool = (pdf["role"] == "tool").astype("int64")
+        done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
+
+        # segment the batch at done-markers: rows up to and including each
+        # marker close one task; the tail stays in state
+        seg = done.cumsum().shift(fill_value=0)  # segment index per row
+        carry = state.get if state.exists else None
+
+        for seg_id, grp in pdf.groupby(seg.values, sort=True):
+            g_ts = ts_us[grp.index]
+            g_n = len(grp)
+            g_first, g_last = int(g_ts.min()), int(g_ts.max())
+            g_tools = int(is_tool[grp.index].sum())
+            if carry is not None:
+                n0, f0, l0, t0 = carry
+                g_n += n0
+                g_first, g_last = min(g_first, f0), max(g_last, l0)
+                g_tools += t0
+                carry = None
+            if bool(done[grp.index].any()):
+                # this segment ends with a marker -> emit now, clear
+                yield _emit(conv_id, g_n, g_first, g_last, g_tools, "end_of_task")
+            else:
+                carry = (g_n, g_first, g_last, g_tools)
+
+        if carry is not None:
+            state.update(carry)
+            # timer at last activity + gap; must be ahead of the watermark
+            wm_ms = state.getCurrentWatermarkMs()
+            timeout_ms = max(carry[2] // 1000 + gap_sec * 1000, wm_ms + 1)
+            state.setTimeoutTimestamp(timeout_ms)
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
+def aggregate_stateful_stream(df: DataFrame, gap_sec: int = 1800,
+                              watermark: str = "1 hour",
+                              end_marker: str = "task=done") -> DataFrame:
+    """df: streaming transcript DataFrame (conv_id, turn_idx, role, text, ts).
+
+    Returns the emitted task summaries (one row per end_of_task or timeout).
+    """
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_aggregate_fn(gap_sec, end_marker),
+            OUT_SCHEMA, STATE_SCHEMA,
+            "append", GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -27,15 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cores: int, sf: float) -> None:
-    from logstash_spark.session import get_spark
-    from logstash_spark.sources.transcripts import ensure_transcripts_parquet
+def _one_run(spark, src: str, tag: str) -> dict:
     from logstash_spark.streaming.jobs import run_north_star
 
-    src = ensure_transcripts_parquet(sf)
-    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]")
-    n_turns = spark.read.parquet(src).count()
-    work = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    work = tempfile.mkdtemp(prefix=f"scale_{tag}_")
     try:
         t0 = time.perf_counter()
         q = run_north_star(spark, src,
@@ -44,11 +39,30 @@ def child(cores: int, sf: float) -> None:
                            available_now=True)
         q.awaitTermination()
         elapsed = time.perf_counter() - t0
+        trigger_ms = sum(p["durationMs"]["triggerExecution"]
+                         for p in q.recentProgress)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps({"cores": cores, "sec": round(elapsed, 3),
-                      "turns": n_turns,
-                      "turns_per_sec": round(n_turns / elapsed, 1)}))
+    return {"sec": round(elapsed, 3), "trigger_sec": round(trigger_ms / 1000, 3)}
+
+
+def child(cores: int, sf: float) -> None:
+    """One measured configuration: warm the JVM/codegen on a small input
+    first (excluded, standard benchmarking practice — a long-lived cluster
+    is always warm), then time the full run twice and keep the best."""
+    from logstash_spark.session import get_spark
+    from logstash_spark.sources.transcripts import ensure_transcripts_parquet
+    src = ensure_transcripts_parquet(sf)
+    warm_src = ensure_transcripts_parquet(min(sf / 10, 0.1))
+    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]")
+    n_turns = spark.read.parquet(src).count()
+    _one_run(spark, warm_src, f"{cores}_warm")
+    runs = [_one_run(spark, src, f"{cores}_m{i}") for i in range(2)]
+    best = min(runs, key=lambda r: r["sec"])
+    print(json.dumps({"cores": cores, "sec": best["sec"],
+                      "trigger_sec": best["trigger_sec"],
+                      "runs": runs, "turns": n_turns,
+                      "turns_per_sec": round(n_turns / best["sec"], 1)}))
 
 
 def run_child(cores: int, sf: float) -> dict:
