@@ -1,0 +1,567 @@
+"""LSCL (Logstash config language) subset -> Pipeline compiler.
+
+Reference: the Treetop PEG grammar (logstash-core/lib/logstash/config/
+grammar.treetop:28-246 — `if/else if/else` 138-148, `in` 187, `not in` 191,
+`=~ !~` 227, `and/or/xor/nand` 232), compiled imperatively by
+LogStash::Compiler (logstash-core/lib/logstash/compiler.rb:23) and
+org.logstash.config.ir.ConfigCompiler.java:87-105.  Conditional semantics
+per EventCondition.java:110-141 are delegated to functions/conditions.py.
+
+This module lets a user paste the `filter { ... }` section of an existing
+Logstash pipeline and get back our Pipeline (plans/pipeline.py) compiling
+to a DataFrame DAG:
+
+    pipe = compile_lscl(config_text)
+    out = pipe(df)
+
+Supported subset: the filter-section plugins implemented in
+logstash_spark.operators (grok, dissect, mutate, date, kv, csv, json, xml,
+fingerprint, uuid, anonymize, translate, prune, de_dot, truncate,
+urldecode, syslog_pri, cidr, drop, clone, split, useragent) plus full
+conditional expressions with `if / else if / else`, nesting, and the
+common-decorator attrs add_tag/remove_tag/add_field/remove_field applied
+under the plugin's success predicate (filters/base.rb:195-226).  input/
+output sections are parsed but rejected with a pointer to our
+sources/sinks APIs (they are session-level concerns in Spark, not rows).
+
+Scale note: the compiler output is exactly the hand-built Pipeline — same
+branch/union shapes, same Column reuse — so everything Catalyst does for
+hand-written pipelines (scan reuse, CSE, whole-stage codegen) applies to
+parsed configs identically.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.functions import conditions as C
+from logstash_spark.plans.pipeline import If, Pipeline, Stage
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<op>==|!=|<=|>=|=~|!~|=>|<|>|!|\{|\}|\(|\)|\[|\]|,)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
+""", re.VERBOSE)
+
+_KEYWORDS = {"if", "else", "and", "or", "not", "nand", "xor", "in", "true", "false"}
+
+
+@dataclass
+class Tok:
+    kind: str   # string|number|op|word
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            # a bare regex literal /.../ — only valid right after =~ / !~
+            if src[i] == "/":
+                j = i + 1
+                while j < len(src) and (src[j] != "/" or src[j - 1] == "\\"):
+                    j += 1
+                if j < len(src):
+                    toks.append(Tok("regex", src[i + 1:j], i))
+                    i = j + 1
+                    continue
+            raise SyntaxError(f"LSCL: cannot tokenize at {i}: {src[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "string":
+            text = text[1:-1].replace('\\"', '"').replace("\\'", "'")
+        toks.append(Tok(kind, text, m.start()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PluginNode:
+    name: str
+    attrs: dict
+
+
+@dataclass
+class IfNode:
+    branches: list          # [(expr_ast, [nodes])]
+    else_nodes: list | None
+
+
+# expression AST: ("field", [parts]) ("lit", v) ("list", [v]) ("regex", s)
+#                 ("bin", op, l, r) ("not", e)
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Tok | None:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("LSCL: unexpected end of config")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"LSCL: expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # -- config structure --------------------------------------------------
+
+    def parse_config(self) -> dict[str, list]:
+        sections: dict[str, list] = {}
+        while self.peek():
+            name = self.next()
+            if name.text not in ("input", "filter", "output"):
+                raise SyntaxError(f"LSCL: unknown section {name.text!r}")
+            self.expect("{")
+            sections.setdefault(name.text, []).extend(self.parse_items())
+        return sections
+
+    def parse_items(self) -> list:
+        items = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SyntaxError("LSCL: unterminated block")
+            if t.text == "}":
+                self.next()
+                return items
+            if t.text == "if":
+                items.append(self.parse_if())
+            else:
+                items.append(self.parse_plugin())
+
+    def parse_if(self) -> IfNode:
+        self.expect("if")
+        cond = self.parse_expr()
+        self.expect("{")
+        body = self.parse_items()
+        branches = [(cond, body)]
+        else_nodes = None
+        while self.peek() and self.peek().text == "else":
+            self.next()
+            if self.peek() and self.peek().text == "if":
+                self.next()
+                c2 = self.parse_expr()
+                self.expect("{")
+                branches.append((c2, self.parse_items()))
+            else:
+                self.expect("{")
+                else_nodes = self.parse_items()
+                break
+        return IfNode(branches, else_nodes)
+
+    def parse_plugin(self) -> PluginNode:
+        name = self.next()
+        if name.kind != "word":
+            raise SyntaxError(f"LSCL: expected plugin name, got {name.text!r}")
+        self.expect("{")
+        attrs = {}
+        while self.peek() and self.peek().text != "}":
+            key = self.next().text
+            self.expect("=>")
+            attrs[key] = self.parse_value()
+        self.expect("}")
+        return PluginNode(name.text, attrs)
+
+    # -- attribute values --------------------------------------------------
+
+    def parse_value(self):
+        t = self.peek()
+        if t.text == "[":
+            return self.parse_array()
+        if t.text == "{":
+            return self.parse_hash()
+        t = self.next()
+        if t.kind == "number":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "word" and t.text in ("true", "false"):
+            return t.text == "true"
+        return t.text
+
+    def parse_array(self) -> list:
+        self.expect("[")
+        vals = []
+        while self.peek() and self.peek().text != "]":
+            vals.append(self.parse_value())
+            if self.peek() and self.peek().text == ",":
+                self.next()
+        self.expect("]")
+        return vals
+
+    def parse_hash(self) -> dict:
+        self.expect("{")
+        h = {}
+        while self.peek() and self.peek().text != "}":
+            k = self.parse_value()
+            self.expect("=>")
+            h[k] = self.parse_value()
+        self.expect("}")
+        return h
+
+    # -- conditional expressions (grammar.treetop:138-232) -----------------
+
+    def parse_expr(self):
+        left = self.parse_and()
+        while self.peek() and self.peek().text in ("or", "nand", "xor"):
+            op = self.next().text
+            left = ("bin", op, left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_unary()
+        while self.peek() and self.peek().text == "and":
+            self.next()
+            left = ("bin", "and", left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.text in ("!", "not"):
+            self.next()
+            return ("not", self.parse_unary())
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        left = self.parse_primary()
+        t = self.peek()
+        if t is None:
+            return left
+        if t.text in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~", "in"):
+            op = self.next().text
+            return ("bin", op, left, self.parse_primary())
+        if t.text == "not" and self.peek(1) and self.peek(1).text == "in":
+            self.next(); self.next()
+            return ("bin", "not in", left, self.parse_primary())
+        return left
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.text == "[":
+            # field ref [a][b]... vs list literal: field refs are bareword
+            # parts; anything quoted/numeric/comma-separated is a list
+            if (self.peek(1) and self.peek(1).kind == "word"
+                    and self.peek(2) and self.peek(2).text == "]"):
+                parts = []
+                while self.peek() and self.peek().text == "[":
+                    self.next()
+                    parts.append(self.next().text)
+                    self.expect("]")
+                return ("field", parts)
+            return ("list", self.parse_array())
+        t = self.next()
+        if t.kind == "regex":
+            return ("regex", t.text)
+        if t.kind == "number":
+            return ("lit", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "string":
+            return ("lit", t.text)
+        if t.text in ("true", "false"):
+            return ("lit", t.text == "true")
+        raise SyntaxError(f"LSCL: unexpected {t.text!r} in expression at {t.pos}")
+
+
+# ---------------------------------------------------------------------------
+# expression compiler (EventCondition.java semantics via functions/conditions)
+# ---------------------------------------------------------------------------
+
+def field_col(parts: list[str]) -> Column:
+    col = F.col(parts[0])
+    for p in parts[1:]:
+        col = col.getItem(p)   # nested struct/map path ([a][b] accessor)
+    return col
+
+
+def compile_expr(ast) -> Column:
+    kind = ast[0]
+    if kind == "field":
+        return C.truthy(field_col(ast[1]))
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "not":
+        return ~compile_expr(ast[1])
+    if kind == "bin":
+        _, op, l, r = ast
+        if op in ("and", "or", "nand", "xor"):
+            lc = _as_bool(l)
+            rc = _as_bool(r)
+            return {"and": lc & rc, "or": lc | rc,
+                    "nand": C.nand(lc, rc), "xor": C.xor(lc, rc)}[op]
+        lv = _operand(l)
+        if op in ("=~", "!~"):
+            pat = r[1] if r[0] in ("regex", "lit") else None
+            if pat is None:
+                raise SyntaxError("LSCL: =~ needs a regex or string pattern")
+            return C.regex_match(lv, pat) if op == "=~" else C.regex_not_match(lv, pat)
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            rv = _operand(r)
+            return {"==": C.eq(lv, rv), "!=": C.neq(lv, rv),
+                    "<": lv < rv, "<=": lv <= rv,
+                    ">": lv > rv, ">=": lv >= rv}[op]
+        if op == "in":
+            return _compile_in(l, r)
+        if op == "not in":
+            return ~_compile_in(l, r)
+    raise SyntaxError(f"LSCL: cannot compile expression node {ast!r}")
+
+
+def _as_bool(ast) -> Column:
+    """Sub-expressions of boolean ops: bare fields use truthiness."""
+    return compile_expr(ast)
+
+
+def _operand(ast) -> Column:
+    if ast[0] == "field":
+        return field_col(ast[1])
+    if ast[0] == "lit":
+        return F.lit(ast[1])
+    if ast[0] == "list":
+        return F.array(*[F.lit(v) for v in ast[1]])
+    raise SyntaxError(f"LSCL: bad operand {ast!r}")
+
+
+def _compile_in(l, r) -> Column:
+    """Polymorphic `in` (EventCondition.java:293-357): rhs list ->
+    membership; rhs string/field -> substring containment (the reference's
+    compile-time dispatch, done here on AST shape)."""
+    lv = _operand(l)
+    if r[0] == "list":
+        return C.in_(lv, r[1])
+    return C.contains(_operand(r), lv)
+
+
+# ---------------------------------------------------------------------------
+# plugin compiler
+# ---------------------------------------------------------------------------
+
+_FAILURE_TAG = {
+    "grok": "_grokparsefailure",
+    "dissect": "_dissectfailure",
+    "date": "_dateparsefailure",
+    "json": "_jsonparsefailure",
+    "xml": "_xmlparsefailure",
+}
+
+
+def _gsub_triplets(v: list) -> list[tuple[str, str, str]]:
+    return [tuple(v[i:i + 3]) for i in range(0, len(v), 3)]
+
+
+_SUPPORTED_PLUGINS = frozenset({
+    "grok", "dissect", "mutate", "date", "kv", "csv", "json", "xml",
+    "fingerprint", "uuid", "anonymize", "translate", "prune", "de_dot",
+    "truncate", "urldecode", "syslog_pri", "cidr", "drop", "clone",
+    "split", "useragent",
+})
+
+
+def compile_plugin(node: PluginNode) -> Stage:
+    """One plugin instance -> a Stage.  Decorator attrs (filters/base.rb:
+    195-226) are applied under the plugin's success predicate."""
+    if node.name not in _SUPPORTED_PLUGINS:
+        raise SyntaxError(
+            f"LSCL: unsupported filter plugin {node.name!r} (supported: "
+            f"{', '.join(sorted(_SUPPORTED_PLUGINS))})")
+    a = dict(node.attrs)
+    add_tags = a.pop("add_tag", [])
+    remove_tags = a.pop("remove_tag", [])
+    add_fields = a.pop("add_field", {})
+    remove_fields = a.pop("remove_field", [])
+    name = node.name
+
+    def op(df: DataFrame) -> DataFrame:
+        if name == "grok":
+            match = a["match"]
+            (src, tpl), = match.items() if isinstance(match, dict) else [tuple(match)]
+            from logstash_spark.operators.grok import grok
+            return grok(df, src, tpl,
+                        tag_on_failure=a.get("tag_on_failure", "_grokparsefailure"))
+        if name == "dissect":
+            (src, mapping), = a["mapping"].items()
+            from logstash_spark.operators.dissect import dissect
+            return dissect(df, src, mapping)
+        if name == "mutate":
+            from logstash_spark.operators.mutate import mutate
+            kw = {}
+            for k in ("coerce", "rename", "update", "replace", "convert",
+                      "uppercase", "capitalize", "lowercase", "strip",
+                      "split", "join", "merge", "copy"):
+                if k in a:
+                    kw[k] = a[k]
+            if "convert" in kw:   # LSCL type names -> Spark type names
+                kw["convert"] = {f: {"integer": "int", "float": "double",
+                                     "string": "string", "boolean": "boolean"}
+                                 .get(t, t) for f, t in kw["convert"].items()}
+            if "gsub" in a:
+                kw["gsub"] = _gsub_triplets(a["gsub"])
+            return mutate(df, **kw)
+        if name == "date":
+            m = a["match"]
+            from logstash_spark.operators.date import date
+            return date(df, m[0], m[1:], target=a.get("target", "@timestamp"))
+        if name == "kv":
+            from logstash_spark.operators.parsers import kv
+            return kv(df, a.get("source", "message"),
+                      field_split=a.get("field_split", " "),
+                      value_split=a.get("value_split", "="),
+                      include_keys=a.get("include_keys"))
+        if name == "csv":
+            from logstash_spark.operators.parsers import csv_filter
+            return csv_filter(df, a.get("source", "message"), a["columns"],
+                              separator=a.get("separator", ","))
+        if name == "json":
+            from logstash_spark.operators.parsers import json_filter
+            return json_filter(df, a.get("source", "message"),
+                               a.get("schema", "map<string,string>"),
+                               target=a.get("target"))
+        if name == "xml":
+            from logstash_spark.operators.parsers import xml_filter
+            return xml_filter(df, a.get("source", "message"), a["schema"],
+                              target=a.get("target", "xml"))
+        if name == "fingerprint":
+            from logstash_spark.operators.misc import fingerprint
+            srcs = a.get("source", ["message"])
+            return fingerprint(df, srcs if isinstance(srcs, list) else [srcs],
+                               target=a.get("target", "fingerprint"),
+                               method=a.get("method", "SHA256").upper())
+        if name == "uuid":
+            from logstash_spark.operators.misc import uuid_filter
+            return uuid_filter(df, target=a.get("target", "uuid"),
+                               overwrite=a.get("overwrite", False))
+        if name == "anonymize":
+            from logstash_spark.operators.misc import anonymize
+            flds = a["fields"]
+            return anonymize(df, flds if isinstance(flds, list) else [flds],
+                             key=a.get("key", "secret"))
+        if name == "translate":
+            from logstash_spark.operators.misc import translate
+            return translate(df, a.get("source", a.get("field")),
+                             a["dictionary"],
+                             a.get("target", "translation"),
+                             fallback=a.get("fallback"))
+        if name == "prune":
+            from logstash_spark.operators.misc import prune
+            return prune(df, whitelist=a.get("whitelist_names"),
+                         blacklist=a.get("blacklist_names"))
+        if name == "de_dot":
+            from logstash_spark.operators.misc import de_dot
+            return de_dot(df, separator=a.get("separator", "_"))
+        if name == "truncate":
+            from logstash_spark.operators.misc import truncate
+            flds = a["fields"]
+            return truncate(df, flds if isinstance(flds, list) else [flds],
+                            a["length_bytes"])
+        if name == "urldecode":
+            from logstash_spark.operators.misc import urldecode
+            return urldecode(df, a.get("field", "message"))
+        if name == "syslog_pri":
+            from logstash_spark.operators.misc import syslog_pri
+            return syslog_pri(df, a.get("syslog_pri_field_name", "syslog_pri"))
+        if name == "cidr":
+            from logstash_spark.operators.misc import cidr
+            return cidr(df, a.get("address", a.get("source")), a["network"])
+        if name == "drop":
+            from logstash_spark.operators.misc import drop
+            # inside an if-branch a bare drop{} cancels everything here
+            return drop(df, F.lit(True), percentage=a.get("percentage", 100),
+                        sample_col=F.xxhash64(*df.columns))
+        if name == "clone":
+            from logstash_spark.operators.misc import clone
+            return clone(df, a["clones"])
+        if name == "split":
+            from logstash_spark.operators.misc import split_field
+            return split_field(df, a["field"], a.get("terminator", "\n"))
+        if name == "useragent":
+            from logstash_spark.operators.enrich import useragent
+            return useragent(df, a.get("source", "message"))
+        raise SyntaxError(
+            f"LSCL: unsupported filter plugin {name!r} (supported: see "
+            f"logstash_spark/plans/lscl.py docstring)")
+
+    if not (add_tags or remove_tags or add_fields or remove_fields):
+        return Stage(op, name)
+
+    def op_with_decorators(df: DataFrame) -> DataFrame:
+        from logstash_spark.functions.decorators import (add_field, add_tag,
+                                                         remove_field,
+                                                         remove_tag)
+        out = op(df)
+        ftag = _FAILURE_TAG.get(name)
+        success = (~F.array_contains("tags", ftag)) if ftag and "tags" in out.columns else None
+        for t in (add_tags if isinstance(add_tags, list) else [add_tags]):
+            out = add_tag(out, t, when=success)
+        for t in (remove_tags if isinstance(remove_tags, list) else [remove_tags]):
+            out = remove_tag(out, t, when=success)
+        for fname, val in (add_fields or {}).items():
+            out = add_field(out, fname, F.lit(val), when=success)
+        if remove_fields:
+            out = remove_field(out, *remove_fields)
+        return out
+
+    return Stage(op_with_decorators, name)
+
+
+def compile_items(nodes: list) -> list:
+    stages = []
+    for n in nodes:
+        if isinstance(n, PluginNode):
+            stages.append(compile_plugin(n))
+        else:
+            stages.append(_compile_if(n))
+    return stages
+
+
+def _compile_if(node: IfNode) -> If:
+    """if / else if / else -> nested If (SplitDataset + lazy Complement
+    shape, CompiledPipeline.java:564-586)."""
+    def build(branches, else_nodes):
+        (expr, body), *rest = branches
+        otherwise = (build(rest, else_nodes) if rest
+                     else (compile_items(else_nodes) if else_nodes else []))
+        cond = expr  # close over AST; compile per-DataFrame call
+        return If(lambda df, _c=cond: compile_expr(_c),
+                  then=compile_items(body),
+                  otherwise=otherwise if isinstance(otherwise, list) else [otherwise])
+    return build(node.branches, node.else_nodes)
+
+
+def compile_lscl(config_text: str) -> Pipeline:
+    """Parse LSCL text; return a Pipeline for its filter section."""
+    sections = Parser(tokenize(config_text)).parse_config()
+    if "input" in sections or "output" in sections:
+        unsupported = [s for s in ("input", "output") if s in sections]
+        raise SyntaxError(
+            f"LSCL: {unsupported} sections are not compiled — wire sources/"
+            f"sinks via logstash_spark.sources / logstash_spark.sinks "
+            f"(SURVEY.md §2.4-2.5); pass only the filter section here")
+    return Pipeline(compile_items(sections.get("filter", [])))

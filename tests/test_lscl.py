@@ -1,0 +1,181 @@
+"""LSCL-subset parser/compiler conformance.
+
+Golden cases follow the reference's conditionals corpus shape
+(logstash-core/spec/conditionals_spec.rb:26-39): each `if EXPR` config adds
+tag "success" on the true branch and "failure" on the false branch; we
+assert which rows land where.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.plans.lscl import compile_lscl, tokenize, Parser
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # id, status, role, text, tags-free baseline
+        ("a", 200, "user", "hello world"),
+        ("b", 404, "assistant", "msg=notfound"),
+        ("c", 500, "tool", "msg=boom"),
+        ("d", None, "user", ""),
+        ("e", 301, "assistant", None),
+    ]
+    return spark.createDataFrame(rows, "id string, status int, role string, text string")
+
+
+def _run_cond(spark, events, expr):
+    cfg = ('filter { if %s { mutate { add_tag => ["success"] } } '
+           'else { mutate { add_tag => ["failure"] } } }') % expr
+    out = compile_lscl(cfg)(events)
+    got = {}
+    for r in out.collect():
+        tags = r["tags"] or []
+        got[r["id"]] = "success" if "success" in tags else (
+            "failure" if "failure" in tags else "none")
+    return got
+
+
+CASES = [
+    ('[status] == 200', {"a"}),
+    ('[status] != 200', {"b", "c", "d", "e"}),     # null-safe neq: null != 200 is true
+    ('[status] > 400', {"b", "c"}),
+    ('[status] <= 301', {"a", "e"}),
+    ('[role] in ["tool", "assistant"]', {"b", "c", "e"}),
+    ('"msg=" in [text]', {"b", "c"}),              # substring containment
+    ('[role] not in ["user"]', {"b", "c", "e"}),
+    ('[text] =~ /^msg=/', {"b", "c"}),
+    ('[text] !~ /^msg=/', {"a", "d"}),             # null text never matches either way
+    ('[status] == 200 or [role] == "tool"', {"a", "c"}),
+    ('[status] == 200 and [role] == "user"', {"a"}),
+    ('[status] == 200 nand [role] == "user"', {"b", "c", "d", "e"}),
+    ('[status] == 200 xor [role] == "user"', {"d"}),  # a: both true; d: only role
+    ('!([status] == 200)', {"b", "c", "d", "e"}),
+    ('[text]', {"a", "b", "c"}),                   # truthiness: "" and null false
+]
+
+
+@pytest.mark.parametrize("expr,expect_success", CASES,
+                         ids=[c[0] for c in CASES])
+def test_conditional_goldens(spark, events, expr, expect_success):
+    got = _run_cond(spark, events, expr)
+    success = {k for k, v in got.items() if v == "success"}
+    assert success == expect_success, f"{expr}: {got}"
+    # every row must land in exactly one branch
+    assert all(v in ("success", "failure") for v in got.values())
+
+
+def test_null_neq_semantics(spark, events):
+    """!= is null-safe negation: null != 200 is TRUE (deterministic),
+    mirroring Ruby-equality in EventCondition.java:376-412."""
+    got = _run_cond(spark, events, '[status] != 200')
+    assert got["d"] == "success"
+
+
+def test_full_pipeline_parse_matches_handbuilt(spark):
+    from logstash_spark.sources.transcripts import register_transcripts
+    from logstash_spark.catalog import q_conditional, GROK_TPL
+
+    sf = "/root/testdata/sf0.001"
+    cfg = '''
+    filter {
+      grok { match => { "text" => "%s" } }
+      if [status] >= 400 and "msg=" in [text] {
+        mutate { add_tag => ["failure"] }
+      } else if [role] in ["tool", "assistant"] {
+        mutate { add_tag => ["machine"] }
+      } else {
+        mutate { add_tag => ["human"] }
+      }
+    }
+    ''' % GROK_TPL.replace("%", "%%").replace("%%{", "%{")
+    pipe = compile_lscl(cfg)
+    t = register_transcripts(spark, sf)
+    got = pipe(t).select(
+        "conv_id", "turn_idx",
+        F.array_join(F.array_sort("tags"), ",").alias("tags_str"))
+    expected = q_conditional(spark, sf)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_mutate_gsub_convert_and_decorators(spark):
+    df = spark.createDataFrame([("a=1", "X"), ("b=2", "Y")], "text string, k string")
+    cfg = '''
+    filter {
+      mutate {
+        gsub => ["text", "=", ":"]
+        lowercase => ["k"]
+        add_field => { "engine" => "spark" }
+      }
+    }
+    '''
+    out = compile_lscl(cfg)(df).collect()
+    assert [r["text"] for r in out] == ["a:1", "b:2"]
+    assert [r["k"] for r in out] == ["x", "y"]
+    assert all(r["engine"] == "spark" for r in out)
+
+
+def test_grok_decorator_only_on_success(spark):
+    df = spark.createDataFrame([("num=5",), ("garbage",)], "text string")
+    cfg = ('filter { grok { match => { "text" => "num=%{INT:num:int}" } '
+           'add_tag => ["parsed"] } }')
+    out = {r["text"]: (r["tags"] or []) for r in compile_lscl(cfg)(df).collect()}
+    assert "parsed" in out["num=5"]
+    assert "parsed" not in out["garbage"]
+    assert "_grokparsefailure" in out["garbage"]
+
+
+def test_drop_inside_if_changes_cardinality(spark):
+    df = spark.createDataFrame([("keep", 1), ("toss", 9)], "id string, v int")
+    cfg = 'filter { if [v] > 5 { drop { } } }'
+    out = compile_lscl(cfg)(df)
+    assert [r["id"] for r in out.collect()] == ["keep"]
+
+
+def test_nested_if(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 9, "x"), ("c", 9, "y")], "id string, v int, g string")
+    cfg = '''
+    filter {
+      if [v] > 5 {
+        if [g] == "y" { mutate { add_tag => ["big_y"] } }
+        else { mutate { add_tag => ["big_x"] } }
+      }
+    }
+    '''
+    got = {r["id"]: (r["tags"] or []) for r in compile_lscl(cfg)(df).collect()}
+    assert got["a"] == []
+    assert got["b"] == ["big_x"]
+    assert got["c"] == ["big_y"]
+
+
+def test_unsupported_plugin_and_sections_raise(spark):
+    with pytest.raises(SyntaxError, match="unsupported filter plugin"):
+        compile_lscl('filter { frobnicate { x => 1 } }')
+    with pytest.raises(SyntaxError, match="sources"):
+        compile_lscl('input { stdin {} } filter { }')
+
+
+def test_date_and_translate_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("2026-01-02 03:04:05", "search"), ("bogus", "unknown_tool")],
+        "raw string, tool string")
+    cfg = '''
+    filter {
+      date { match => ["raw", "yyyy-MM-dd HH:mm:ss"] target => "parsed" }
+      translate {
+        source => "tool"
+        dictionary => { "search" => "retrieval" }
+        target => "cat"
+        fallback => "other"
+      }
+    }
+    '''
+    out = {r["tool"]: r for r in compile_lscl(cfg)(df).collect()}
+    assert str(out["search"]["parsed"]) == "2026-01-02 03:04:05"
+    assert out["unknown_tool"]["parsed"] is None
+    assert "_dateparsefailure" in out["unknown_tool"]["tags"]
+    assert out["search"]["cat"] == "retrieval"
+    assert out["unknown_tool"]["cat"] == "other"
