@@ -154,3 +154,18 @@ def run_north_star(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def dedup_stream(df: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """At-least-once -> exactly-once row dedup inside the stream.
+
+    The reference's persistent queue redelivers after crash (at-least-once,
+    docs/reference/persistent-queues.md:17, 319-334); upstream systems also
+    retry sends.  `dropDuplicatesWithinWatermark` keeps per-key state only
+    until the watermark passes, so duplicate turns delivered within the
+    watermark bound are suppressed with bounded state — the row-level
+    complement of the epoch-level idempotent sink (sinks/exactly_once.py).
+    """
+    keys = keys or ["conv_id", "turn_idx"]
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

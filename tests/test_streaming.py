@@ -175,3 +175,64 @@ def test_flow_metrics_listener(spark, stream_src, tmp_path):
     p = progress[0]
     assert p["sources"] and p["sources"][0]["endOffset"], "offset lineage missing"
     assert any(l["event"] == "started" for l in lines)
+
+
+def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
+    """Duplicate turns re-delivered in a later file (within the watermark)
+    must be emitted exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def tbl(rows):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([None] * len(rows), type=pa.string()),
+            "ts": pa.array([r[3] * 1_000_000 for r in rows],
+                           type=pa.timestamp("us")),
+        })
+
+    t0 = 1_700_000_000
+    p0 = os.path.join(src, "p0.parquet")
+    pq.write_table(tbl([("A", 0, "one", t0), ("A", 1, "two", t0 + 5),
+                        ("B", 0, "b-one", t0 + 7)]), p0)
+    os.utime(p0, (1, 1))
+    # p1 re-delivers (A,1) — a PQ replay — plus a genuinely new turn
+    p1 = os.path.join(src, "p1.parquet")
+    pq.write_table(tbl([("A", 1, "two", t0 + 5), ("A", 2, "three", t0 + 9)]), p1)
+    os.utime(p1, (2, 2))
+
+    stream = J.stream_transcripts(spark, src, max_files_per_trigger=1)
+    deduped = J.dedup_stream(stream, watermark="10 minutes")
+    out = str(tmp_path / "out")
+    q = (deduped.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert keys == [("A", 0), ("A", 1), ("A", 2), ("B", 0)]
+
+
+def test_rollup_stream_matches_batch(spark, stream_src, tmp_path):
+    """Tumbling per-role/tool rollup (metrics filter analog): streamed
+    result rows must be a subset of the batch computation, and all windows
+    closed by the final watermark must be present."""
+    src = J.stream_transcripts(spark, stream_src)
+    rolled = J.rollup_stream(src, size="1 hour")
+    out = str(tmp_path / "ro")
+    q = (rolled.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "rc"))
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    exp = {tuple(r) for r in J.rollup_stream(spark.read.parquet(stream_src)).collect()}
+    assert got, "rollup emitted nothing"
+    assert got <= exp
