@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs: make the repo root importable (cluster runs get the package
+# via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> None:
