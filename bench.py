@@ -36,8 +36,9 @@ HEADLINE = [
     "conditional", "fingerprint",
     "session_window", "tumbling_rollup", "sliding_rollup",
     "throttle", "aggregate_end_of_task", "elapsed",
-    "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
-    "lang_id", "text_quality",
+    "multiline", "geoip", "metrics_rates",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "lang_id", "text_quality",
 ]
 
 
@@ -85,8 +86,8 @@ def bench_north_star(spark, sf: float) -> dict:
         )
         q.awaitTermination()
         elapsed = time.perf_counter() - t0
-        # sink layout: out/batch_id=N/*.parquet (+ hidden _commits log)
-        n_sessions = spark.read.parquet(os.path.join(work, "out")).count()
+        # sink layout: out/{turns,sessions}/batch_id=N/*.parquet
+        n_sessions = spark.read.parquet(os.path.join(work, "out", "sessions")).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return {

@@ -66,11 +66,19 @@ def dissect(
     d = CompiledDissect(mapping)
     src = F.col(source)
     ok = src.isNotNull() & src.rlike(d.regex)
-    for f in d.fields:
-        col = F.regexp_extract(src, d.regex, d.group_of(f))
-        col = F.when(ok, F.when(col == "", None).otherwise(col))
+    # single-pass all-group extraction (see grok.CompiledGrok.extract_all):
+    # rewrite the anchored match to delimited captures, split once
+    DELIM = "\x1e"
+    repl = DELIM.join(f"${d.group_of(f)}" for f in d.fields)
+    packed = F.regexp_replace(src, f"(?s){d.regex}", repl)
+    arr = F.split(packed, DELIM, -1)
+    cols = {}
+    for i, f in enumerate(d.fields):
+        col = F.element_at(arr, i + 1)
+        col = F.when(ok & (col != ""), col)
         cast = (convert or {}).get(f)
         if cast:
             col = col.cast({"int": "long", "float": "double"}.get(cast, cast))
-        df = df.withColumn(f, col)
+        cols[f] = col
+    df = df.withColumns(cols)
     return add_tag(df, tag_on_failure, when=~ok)

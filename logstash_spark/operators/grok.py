@@ -122,6 +122,28 @@ class CompiledGrok:
         cast = dict(self.captures).get(field)
         return raw.cast(cast) if cast else raw
 
+    # One regex pass for ALL captures: rewrite the (leftmost) match to a
+    # delimiter-joined capture list via replaceAll back-references, then
+    # split.  regexp_extract-per-group re-scans the string once per field
+    # (N+1 regex passes incl. the match test); this is 2 passes total —
+    # the difference dominates the parse stage's cost at 100 TB.
+    # Caveat: capture values containing \\x1e (ASCII record separator)
+    # would split wrongly; callers with binary-ish sources can pass
+    # single_pass=False to grok()/dissect() for the per-group path.
+    DELIM = "\x1e"
+
+    def extract_all(self, col: Column, matched: Column) -> dict[str, Column]:
+        repl = self.DELIM.join(f"${self._group_of[f]}" for f, _ in self.captures)
+        wrap = f"(?s)^.*?(?:{self.regex}).*$"
+        packed = F.regexp_replace(col, wrap, repl)
+        arr = F.split(packed, self.DELIM, -1)
+        out = {}
+        for i, (field, cast) in enumerate(self.captures):
+            raw = F.element_at(arr, i + 1)
+            raw = F.when(matched & (raw != ""), raw)
+            out[field] = raw.cast(cast) if cast else raw
+        return out
+
 
 def grok(
     df: DataFrame,
@@ -139,8 +161,8 @@ def grok(
     g = CompiledGrok(template, patterns)
     src = F.col(source)
     ok = g.matched(src)
-    for field, _ in g.captures:
-        df = df.withColumn(field, F.when(ok, g.extract(src, field)))
+    cols = g.extract_all(src, ok)
+    df = df.withColumns(cols)
     df = add_tag(df, tag_on_failure, when=~ok)
     if not keep_unmatched:
         df = df.filter(ok)

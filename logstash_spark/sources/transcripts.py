@@ -233,3 +233,40 @@ def ensure_transcripts_parquet(sf: float, out_root: str = "/root/repo/data") -> 
     with open(marker, "w") as f:
         f.write("ok")
     return path
+
+
+def generator_input_stream(spark, rows_per_second: int = 10_000,
+                           n_tools: int | None = None):
+    """Generator-input analog (reference: in-core Generator.java:49-87 —
+    a synthetic event source used by its own benchmark harness).
+
+    Built on Spark's rate source: each tick row is mapped to a transcript
+    turn with pure Column expressions (conv assignment, role cycle, text
+    assembly) — an infinite deterministic-shape stream for soak/bench runs
+    without any files.  Returns a streaming DataFrame with the canonical
+    transcript schema.
+    """
+    from pyspark.sql import functions as F
+
+    tools = TOOLS[:n_tools] if n_tools else TOOLS
+    tool_arr = F.array(*[F.lit(t) for t in tools])
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", rows_per_second).load())
+    v = F.col("value")
+    conv = F.concat(F.lit("conv-"), F.lpad((v / 20).cast("long").cast("string"), 10, "0"))
+    turn_idx = F.pmod(v, F.lit(20)).cast("int")
+    role = F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                        F.pmod(v, F.lit(3)).cast("int") + 1)
+    tool = F.when(F.pmod(v, F.lit(3)) == 2,
+                  F.element_at(tool_arr, F.pmod(v, F.lit(len(tools))).cast("int") + 1))
+    status = (200 + F.pmod(v, F.lit(3)) * 100).cast("long")
+    nbytes = F.pmod(v * 2654435761, F.lit(5000)).cast("long")
+    text = F.concat(
+        F.lit("status="), status.cast("string"),
+        F.lit(" bytes="), nbytes.cast("string"),
+        F.lit(" tool="), F.coalesce(tool, F.lit("none")),
+        F.lit(" msg=turn"),
+        F.when(turn_idx == 19, F.lit(" task=done")).otherwise(F.lit("")))
+    return src.select(
+        conv.alias("conv_id"), turn_idx.alias("turn_idx"), role.alias("role"),
+        text.alias("text"), tool.alias("tool"), F.col("timestamp").alias("ts"))

@@ -25,6 +25,8 @@ are finalized and evicted).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,18 +66,25 @@ def session_rollup_stream(df: DataFrame, gap: str = "30 minutes",
     Watermark bounds state: a session is emitted (and its state evicted)
     once the event-time watermark passes session_end — the event-time
     version of the reference's timeout flush (PeriodicFlush.java:50-57).
+
+    The aggregation inputs are projected to 4 slim columns BEFORE the
+    groupBy so the session shuffle never carries text/parsed fields —
+    at 100 TB the shuffle payload is the scaling bottleneck, not the scan.
     """
+    slim = df.select(
+        "conv_id", "ts",
+        (F.col("role") == "tool").cast("long").alias("__is_tool"),
+        F.col("text").contains("task=done").cast("long").alias("__is_done"),
+    )
     return (
-        df.withWatermark("ts", watermark)
+        slim.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), F.col("conv_id"))
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
-            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
-            .cast("long").alias("n_tool_turns"),
-            F.max(F.when(F.col("text").contains("task=done"), 1).otherwise(0))
-            .cast("long").alias("task_done"),
+            F.sum("__is_tool").cast("long").alias("n_tool_turns"),
+            F.max("__is_done").cast("long").alias("task_done"),
         )
         .select(F.col("sw.start").alias("session_start"),
                 F.col("sw.end").alias("session_end"),
@@ -136,24 +145,72 @@ def run_north_star(
     watermark: str = "1 hour",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    emit_turns: bool = True,
 ):
-    """The flagship streaming query: parse -> session rollup -> exactly-once
-    sink; resumable from checkpoint.  Returns the StreamingQuery."""
+    """The flagship streaming job: parse -> {per-turn sink, session rollup
+    sink}; resumable from checkpoint.
+
+    Two outputs, mirroring the reference where the aggregate filter emits
+    summary events ALONGSIDE the original (filtered) events flowing to the
+    output stage — and matching the conformance contract ("per-turn text
+    equality under stable (conv_id, turn_idx) ordering", BASELINE.json):
+
+    * turns:    grok+mutate'd turns, exactly-once keyed (conv_id, turn_idx).
+                A NARROW path — scan -> regex -> write, no shuffle — so it
+                scales linearly with executors.
+    * sessions: session-window rollup keyed conv_id (the stateful path;
+                its shuffle carries only the projected aggregation inputs).
+
+    Returns the list of StreamingQuery handles (await them all).
+    """
     from logstash_spark.sinks.exactly_once import ExactlyOnceParquetSink
 
     src = stream_transcripts(spark, src_dir, max_files_per_trigger)
     parsed = parse_stage(src)
-    sessions = session_rollup_stream(parsed, gap, watermark)
-    sink = ExactlyOnceParquetSink(out_dir, merge_keys=["conv_id", "session_start"])
-    w = (
-        sessions.writeStream
-        .outputMode("append")           # emit sessions once finalized
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink.foreach_batch())
-    )
+    queries = []
+    if emit_turns:
+        turn_sink = ExactlyOnceParquetSink(
+            os.path.join(out_dir, "turns"), merge_keys=["conv_id", "turn_idx"])
+        w = (parsed.writeStream.outputMode("append")
+             .option("checkpointLocation", os.path.join(checkpoint_dir, "turns"))
+             .queryName("north_star_turns")
+             .foreachBatch(turn_sink.foreach_batch()))
+        if available_now:
+            w = w.trigger(availableNow=True)
+        queries.append(w.start())
+
+    sessions = session_rollup_stream(parse_stage(
+        stream_transcripts(spark, src_dir, max_files_per_trigger)), gap, watermark)
+    sess_sink = ExactlyOnceParquetSink(
+        os.path.join(out_dir, "sessions"), merge_keys=["conv_id", "session_start"])
+    w = (sessions.writeStream.outputMode("append")
+         .option("checkpointLocation", os.path.join(checkpoint_dir, "sessions"))
+         .queryName("north_star_sessions")
+         .foreachBatch(sess_sink.foreach_batch()))
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    queries.append(w.start())
+    return NorthStarHandle(queries)
+
+
+class NorthStarHandle:
+    """Await-all wrapper so existing call sites (`q.awaitTermination()`)
+    keep working across the one-query -> two-query change."""
+
+    def __init__(self, queries):
+        self.queries = queries
+
+    def awaitTermination(self):
+        for q in self.queries:
+            q.awaitTermination()
+
+    @property
+    def recentProgress(self):
+        return [p for q in self.queries for p in q.recentProgress]
+
+    @property
+    def lastProgress(self):
+        return self.queries[-1].lastProgress
 
 
 def dedup_stream(df: DataFrame, keys: list[str] | None = None,
@@ -169,3 +226,47 @@ def dedup_stream(df: DataFrame, keys: list[str] | None = None,
     """
     keys = keys or ["conv_id", "turn_idx"]
     return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_parse_to_bus(spark: SparkSession, src_dir: str, bus_dir: str,
+                     checkpoint_dir: str, available_now: bool = True):
+    """Pipeline-to-pipeline, upstream half (PipelineBus.java:56-66 analog).
+
+    The Logstash p2p bus routes events between named pipelines in-VM with
+    ensureDelivery; in Spark the bus is a replayable intermediate table:
+    upstream writes its filtered output as an append-only parquet stream
+    (offsets in its own checkpoint = ensureDelivery), downstream readStreams
+    the same directory.  Decoupling means each half restarts/retries
+    independently — the same failure isolation the bus provides.
+    """
+    src = stream_transcripts(spark, src_dir)
+    parsed = parse_stage(src)
+    w = (parsed.writeStream.outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .format("parquet").option("path", bus_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+PARSED_SCHEMA = (TRANSCRIPT_SCHEMA
+                 + ", status long, bytes long, tool_name string, msg string, "
+                   "tags array<string>")
+
+
+def run_bus_to_sessions(spark: SparkSession, bus_dir: str, out_dir: str,
+                        checkpoint_dir: str, gap: str = "30 minutes",
+                        watermark: str = "1 hour", available_now: bool = True):
+    """Pipeline-to-pipeline, downstream half: sessionize the bus stream
+    into the exactly-once sink (same stateful stage as run_north_star)."""
+    from logstash_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    src = spark.readStream.schema(PARSED_SCHEMA).parquet(bus_dir)
+    sessions = session_rollup_stream(src, gap, watermark)
+    sink = ExactlyOnceParquetSink(out_dir, merge_keys=["conv_id", "session_start"])
+    w = (sessions.writeStream.outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .foreachBatch(sink.foreach_batch()))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

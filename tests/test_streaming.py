@@ -54,7 +54,7 @@ def test_north_star_stream_matches_batch(spark, stream_src, tmp_path):
     q = J.run_north_star(spark, stream_src, out, ckpt,
                          max_files_per_trigger=2)
     _wait(q)
-    sink = ExactlyOnceParquetSink(out)
+    sink = ExactlyOnceParquetSink(os.path.join(out, "sessions"))
     got = sink.read(spark)
 
     # batch oracle: same operators in batch mode
@@ -90,12 +90,14 @@ def test_exactly_once_replay_is_noop(spark, stream_src, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = J.run_north_star(spark, stream_src, out, ckpt, max_files_per_trigger=2)
     _wait(q)
-    sink = ExactlyOnceParquetSink(out, merge_keys=["conv_id", "session_start"])
+    sink = ExactlyOnceParquetSink(os.path.join(out, "sessions"),
+                                  merge_keys=["conv_id", "session_start"])
     before = sink.read(spark).count()
     committed = sorted(sink.committed_ids())
     assert len(committed) >= 2, "expected multiple epochs"
     # simulate Spark epoch replay after crash: re-deliver an old epoch
-    replay_df = spark.read.parquet(os.path.join(out, f"batch_id={committed[0]}"))
+    replay_df = spark.read.parquet(
+        os.path.join(out, "sessions", f"batch_id={committed[0]}"))
     sink.handle(replay_df, committed[0])
     after = sink.read(spark).count()
     assert after == before, "replayed epoch must be a no-op"
@@ -109,7 +111,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, stream_src, tmp_path)
     ckpt = str(tmp_path / "ckpt")
     q = J.run_north_star(spark, stream_src, out, ckpt)
     _wait(q)
-    sink = ExactlyOnceParquetSink(out)
+    sink = ExactlyOnceParquetSink(os.path.join(out, "sessions"))
     n1 = sink.read(spark).count()
     epochs1 = sink.committed_ids()
 
@@ -236,3 +238,85 @@ def test_rollup_stream_matches_batch(spark, stream_src, tmp_path):
     exp = {tuple(r) for r in J.rollup_stream(spark.read.parquet(stream_src)).collect()}
     assert got, "rollup emitted nothing"
     assert got <= exp
+
+
+def test_pipeline_to_pipeline_bus(spark, stream_src, tmp_path):
+    """PipelineBus analog: upstream parse query -> intermediate bus table ->
+    downstream sessionization query; composed result must match the single
+    north-star pipeline's output."""
+    bus = str(tmp_path / "bus")
+    out = str(tmp_path / "out")
+    q1 = J.run_parse_to_bus(spark, stream_src, bus, str(tmp_path / "c1"))
+    q1.awaitTermination()
+    q2 = J.run_bus_to_sessions(spark, bus, out, str(tmp_path / "c2"))
+    q2.awaitTermination()
+    got = {tuple(r) for r in ExactlyOnceParquetSink(out).read(spark).collect()}
+    assert got, "p2p pipeline emitted nothing"
+    # reference: the fused pipeline over the same input
+    fused = J.session_rollup_stream(J.parse_stage(spark.read.parquet(stream_src)))
+    exp = {tuple(r) for r in fused.select(*ExactlyOnceParquetSink(out).read(spark).columns).collect()}
+    assert got <= exp
+
+
+def test_generator_input_stream(spark, tmp_path):
+    """Generator-input analog over the rate source: correct schema and
+    deterministic shape, drained via a short run."""
+    from logstash_spark.sources.transcripts import generator_input_stream
+
+    src = generator_input_stream(spark, rows_per_second=5000)
+    assert src.isStreaming
+    out = str(tmp_path / "gen_out")
+    q = (src.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "gen_ckpt"))
+         .format("parquet").option("path", out).start())
+    import time
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        time.sleep(1)
+        try:
+            if spark.read.parquet(out).count() > 0:
+                break
+        except Exception:
+            continue
+    q.stop()
+    rows = spark.read.parquet(out)
+    assert rows.count() > 0
+    assert rows.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    r = rows.filter("role = 'tool'").first()
+    if r is not None:
+        assert r["tool"] is not None and "tool=" in r["text"]
+
+
+def test_north_star_per_turn_text_equality(spark, tmp_path):
+    """THE conformance contract (BASELINE.json north rule): the streamed
+    per-turn output must reproduce the reference pipeline's rows exactly —
+    per-turn text equality under stable (conv_id, turn_idx) ordering —
+    for the same input and watermark.
+
+    Uses a private source dir: (conv_id, turn_idx) is the row identity key
+    (the exactly-once merge key), so the input must honor its uniqueness —
+    unlike the module fixture, which another test intentionally pollutes
+    with replayed conv ids."""
+    import pyarrow.parquet as pq
+
+    stream_src = str(tmp_path / "src")
+    os.makedirs(stream_src)
+    pq.write_table(generate_transcripts(3000, seed=21),
+                   os.path.join(stream_src, "p0.parquet"))
+    out = str(tmp_path / "out")
+    q = J.run_north_star(spark, stream_src, out, str(tmp_path / "ckpt"))
+    _wait(q)
+    turns = ExactlyOnceParquetSink(os.path.join(out, "turns")).read(spark)
+
+    # reference semantics in batch over the same input (same operators,
+    # executed without streaming machinery = the oracle)
+    expected = J.parse_stage(spark.read.parquet(stream_src))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "status", "bytes",
+            "tool_name", "msg"]
+    got = [tuple(r) for r in turns.select(cols)
+           .orderBy("conv_id", "turn_idx", "text").collect()]
+    exp = [tuple(r) for r in expected.select(cols)
+           .orderBy("conv_id", "turn_idx", "text").collect()]
+    assert len(got) == len(exp) and got == exp, (
+        f"per-turn mismatch: {len(got)} vs {len(exp)} rows")
