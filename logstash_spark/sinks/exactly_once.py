@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame
 
 
 class ExactlyOnceParquetSink:
+    """merge_keys: optional row-identity dedup WITHIN an epoch (MERGE-style
+    upsert key).  Exactly-once under epoch replay comes from the commit log
+    alone; pass merge_keys only when the SOURCE may deliver duplicate rows
+    inside one epoch — it costs a full shuffle of the epoch's rows, which
+    on a narrow pass-through path (e.g. the per-turn output) is the
+    difference between a no-shuffle write and shuffling the whole stream."""
+
     def __init__(self, path: str, merge_keys: list[str] | None = None):
         self.path = path
         self.merge_keys = merge_keys

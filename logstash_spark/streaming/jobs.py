@@ -165,22 +165,42 @@ def run_north_star(
     """
     from logstash_spark.sinks.exactly_once import ExactlyOnceParquetSink
 
-    src = stream_transcripts(spark, src_dir, max_files_per_trigger)
-    parsed = parse_stage(src)
     queries = []
     if emit_turns:
-        turn_sink = ExactlyOnceParquetSink(
-            os.path.join(out_dir, "turns"), merge_keys=["conv_id", "turn_idx"])
+        src = stream_transcripts(spark, src_dir, max_files_per_trigger)
+        parsed = parse_stage(src)
+        # no merge_keys: (conv_id, turn_idx) is unique by source contract
+        # and epoch replays are already no-ops via the commit log — keeping
+        # the per-turn path shuffle-free (scan -> regex -> write).  Callers
+        # with at-least-once sources put dedup_stream() upstream instead.
+        turn_sink = ExactlyOnceParquetSink(os.path.join(out_dir, "turns"))
         w = (parsed.writeStream.outputMode("append")
              .option("checkpointLocation", os.path.join(checkpoint_dir, "turns"))
              .queryName("north_star_turns")
              .foreachBatch(turn_sink.foreach_batch()))
         if available_now:
             w = w.trigger(availableNow=True)
-        queries.append(w.start())
+        q1 = w.start()
+        queries.append(q1)
+        if available_now:
+            # chain: sessionize the turns sink output (p2p-bus shape) so
+            # the scan+grok work is done ONCE; the sessions query reads
+            # already-parsed columnar data
+            q1.awaitTermination()
+            sess_src = (spark.readStream.schema(PARSED_SCHEMA)
+                        .option("pathGlobFilter", "*.parquet")
+                        .parquet(os.path.join(out_dir, "turns", "batch_id=*")))
+            sessions = session_rollup_stream(sess_src, gap, watermark)
+        else:
+            # continuous mode: independent second scan of the source
+            sessions = session_rollup_stream(parse_stage(
+                stream_transcripts(spark, src_dir, max_files_per_trigger)),
+                gap, watermark)
+    else:
+        sessions = session_rollup_stream(parse_stage(
+            stream_transcripts(spark, src_dir, max_files_per_trigger)),
+            gap, watermark)
 
-    sessions = session_rollup_stream(parse_stage(
-        stream_transcripts(spark, src_dir, max_files_per_trigger)), gap, watermark)
     sess_sink = ExactlyOnceParquetSink(
         os.path.join(out_dir, "sessions"), merge_keys=["conv_id", "session_start"])
     w = (sessions.writeStream.outputMode("append")
