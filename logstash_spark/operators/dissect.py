@@ -65,16 +65,18 @@ def dissect(
 ) -> DataFrame:
     d = CompiledDissect(mapping)
     src = F.col(source)
-    ok = src.isNotNull() & src.rlike(d.regex)
-    # single-pass all-group extraction (see grok.CompiledGrok.extract_all):
-    # rewrite the anchored match to delimited captures, split once
+    # single-pass all-group extraction + match test (see grok.CompiledGrok):
+    # rewrite the anchored match to sentinel-prefixed delimited captures,
+    # split once; a non-match passes through unchanged, so the sentinel
+    # prefix IS the match test — one regex pass total, no rlike.
     DELIM = "\x1e"
-    repl = DELIM.join(f"${d.group_of(f)}" for f in d.fields)
+    repl = DELIM + DELIM.join(f"${d.group_of(f)}" for f in d.fields)
     packed = F.regexp_replace(src, f"(?s){d.regex}", repl)
+    ok = src.isNotNull() & packed.startswith(DELIM)
     arr = F.split(packed, DELIM, -1)
     cols = {}
     for i, f in enumerate(d.fields):
-        col = F.element_at(arr, i + 1)
+        col = F.element_at(arr, i + 2)
         col = F.when(ok & (col != ""), col)
         cast = (convert or {}).get(f)
         if cast:

@@ -122,24 +122,34 @@ class CompiledGrok:
         cast = dict(self.captures).get(field)
         return raw.cast(cast) if cast else raw
 
-    # One regex pass for ALL captures: rewrite the (leftmost) match to a
-    # delimiter-joined capture list via replaceAll back-references, then
-    # split.  regexp_extract-per-group re-scans the string once per field
-    # (N+1 regex passes incl. the match test); this is 2 passes total —
-    # the difference dominates the parse stage's cost at 100 TB.
-    # Caveat: capture values containing \\x1e (ASCII record separator)
-    # would split wrongly; callers with binary-ish sources can pass
-    # single_pass=False to grok()/dissect() for the per-group path.
+    # One regex pass for ALL captures AND the match test: rewrite the
+    # (leftmost) match to a sentinel-prefixed, delimiter-joined capture
+    # list via replaceAll back-references, then split.  A non-matching
+    # row passes through regexp_replace unchanged, so "result starts
+    # with the sentinel" IS the match test — no separate rlike pass.
+    # regexp_extract-per-group re-scans the string once per field (N+1
+    # regex passes incl. the match test); this is 1 pass total — regex
+    # time dominates the parse stage's cost at 100 TB.
+    # Caveat: source values containing \\x1e (ASCII record separator)
+    # would confuse the sentinel/split; callers with binary-ish sources
+    # should use matched()/extract() (per-group regexp_extract path).
     DELIM = "\x1e"
 
-    def extract_all(self, col: Column, matched: Column) -> dict[str, Column]:
-        repl = self.DELIM.join(f"${self._group_of[f]}" for f, _ in self.captures)
+    def packed_col(self, col: Column) -> Column:
+        repl = self.DELIM + self.DELIM.join(
+            f"${self._group_of[f]}" for f, _ in self.captures)
         wrap = f"(?s)^.*?(?:{self.regex}).*$"
-        packed = F.regexp_replace(col, wrap, repl)
+        return F.regexp_replace(col, wrap, repl)
+
+    def matched_from_packed(self, col: Column, packed: Column) -> Column:
+        return col.isNotNull() & packed.startswith(self.DELIM)
+
+    def extract_all(self, matched: Column, packed: Column) -> dict[str, Column]:
         arr = F.split(packed, self.DELIM, -1)
         out = {}
         for i, (field, cast) in enumerate(self.captures):
-            raw = F.element_at(arr, i + 1)
+            # element 1 is the empty pre-sentinel slot; captures start at 2
+            raw = F.element_at(arr, i + 2)
             raw = F.when(matched & (raw != ""), raw)
             out[field] = raw.cast(cast) if cast else raw
         return out
@@ -160,8 +170,9 @@ def grok(
     """
     g = CompiledGrok(template, patterns)
     src = F.col(source)
-    ok = g.matched(src)
-    cols = g.extract_all(src, ok)
+    packed = g.packed_col(src)
+    ok = g.matched_from_packed(src, packed)
+    cols = g.extract_all(ok, packed)
     df = df.withColumns(cols)
     df = add_tag(df, tag_on_failure, when=~ok)
     if not keep_unmatched:

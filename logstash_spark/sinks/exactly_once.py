@@ -74,10 +74,21 @@ class ExactlyOnceParquetSink:
             out = out.dropDuplicates(self.merge_keys)
         target = os.path.join(self.path, f"batch_id={epoch_id}")
         out.write.mode("overwrite").parquet(target)
-        # row count from parquet footers only — avoids recomputing the
-        # upstream plan (a count() here would run the whole pipeline twice)
-        n = out.sparkSession.read.parquet(target).count()
+        # row count from parquet footers, read driver-side with pyarrow —
+        # no Spark job at all (a count() here would run the whole pipeline
+        # twice; even spark.read...count() pays listing + job scheduling)
+        n = self._footer_rows(target)
         self._commit(epoch_id, {"rows": n, "ts": time.time()})
+
+    @staticmethod
+    def _footer_rows(target: str) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(os.path.join(target, f)).num_rows
+            for f in os.listdir(target)
+            if f.endswith(".parquet")
+        )
 
     def foreach_batch(self):
         return lambda df, eid: self.handle(df, eid)

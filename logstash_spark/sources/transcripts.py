@@ -197,39 +197,61 @@ def _segmented_cumsum(values, sizes):
     return csum - seg_base
 
 
+_GEN_CHUNK = 5_000_000   # turns per generator call (bounds numpy peak memory)
+_FILE_ROWS = 200_000     # rows per parquet file for parallel scan
+_FILES_PER_CHUNK = -(-_GEN_CHUNK // _FILE_ROWS)
+
+
+def _write_chunk(args) -> int:
+    """One generator chunk -> its deterministic slice of parquet files.
+
+    Pure function of (gidx, n): safe to run in any process, in any order —
+    output bytes are identical to the serial path."""
+    import pyarrow.parquet as pq
+
+    path, gidx, this = args
+    tbl = generate_transcripts(this, seed=42 + gidx,
+                               conv_offset=gidx * 1_000_000)
+    fidx = gidx * _FILES_PER_CHUNK
+    i = 0
+    while i < tbl.num_rows:
+        pq.write_table(tbl.slice(i, _FILE_ROWS),
+                       os.path.join(path, f"part-{fidx:05d}.parquet"))
+        i += _FILE_ROWS
+        fidx += 1
+    return tbl.num_rows
+
+
 def ensure_transcripts_parquet(sf: float, out_root: str = "/root/repo/data") -> str:
     """Generate-and-cache transcript parquet for a scale factor.
 
     sf=0.1 -> ~1M turns (10M turns per sf unit), written as multiple parquet
-    files so local Spark gets parallel scan partitions.
+    files so local Spark gets parallel scan partitions.  Chunks are
+    generated in parallel processes; each chunk owns a disjoint conv_id
+    range (sessions never span chunks) and a fixed seed + file-index range,
+    so the output is byte-identical at any worker count.
     """
-    import pyarrow.parquet as pq
-
     n_turns = int(sf * 10_000_000)
     path = os.path.join(out_root, f"transcripts_sf{sf}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
-    # generate in <=5M-turn chunks (bounds numpy peak memory at large SF);
-    # each chunk gets a disjoint conv_id range so sessions never span chunks
-    gen_chunk = 5_000_000
-    chunk = 200_000          # rows per parquet file for parallel scan
-    fidx = 0
-    remaining = n_turns
-    gidx = 0
+    jobs = []
+    remaining, gidx = n_turns, 0
     while remaining > 0:
-        this = min(gen_chunk, remaining)
-        tbl = generate_transcripts(this, seed=42 + gidx,
-                                   conv_offset=gidx * 1_000_000)
-        i = 0
-        while i < tbl.num_rows:
-            pq.write_table(tbl.slice(i, chunk),
-                           os.path.join(path, f"part-{fidx:05d}.parquet"))
-            i += chunk
-            fidx += 1
+        this = min(_GEN_CHUNK, remaining)
+        jobs.append((path, gidx, this))
         remaining -= this
         gidx += 1
+    if len(jobs) == 1:
+        _write_chunk(jobs[0])
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(len(jobs), max((os.cpu_count() or 8) // 2, 1))
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_chunk, jobs))
     with open(marker, "w") as f:
         f.write("ok")
     return path
