@@ -41,6 +41,38 @@ def json_lines_decode(df: DataFrame, source: str, schema: str,
     return json_filter(lines, "__line", schema).drop("__line")
 
 
+def csv_lines_decode(df: DataFrame, source: str, columns: list,
+                     delimiter: str = "\n", separator: str = ",",
+                     types: dict | None = None) -> DataFrame:
+    """csv codec (plugin registry rakelib/plugins-metadata.json:10): one
+    event per delimited line, each parsed as a CSV record (quote-aware JVM
+    parser via the csv filter)."""
+    from logstash_spark.operators.parsers import csv_filter
+
+    lines = line_decode(df, source, delimiter, target="__line")
+    return csv_filter(lines, "__line", columns, separator=separator,
+                      types=types).drop("__line")
+
+
+# avro codec (plugins-metadata.json:6): needs the spark-avro datasource
+# package (`from_avro`/`to_avro`), which is not bundled with pip pyspark —
+# at deploy time add `--packages org.apache.spark:spark-avro_2.13:<ver>`
+# and decode with `from_avro(col, json_schema)`; the rest of the pipeline
+# is unchanged.  Gated here so the module imports without the jar.
+def avro_decode(df: DataFrame, source: str, json_schema: str,
+                target: str = "record") -> DataFrame:
+    try:
+        # the python wrapper ships with pip pyspark; the JAR does not —
+        # the missing class surfaces as an AnalysisException at call time
+        from pyspark.sql.avro.functions import from_avro
+
+        return df.withColumn(target, from_avro(F.col(source), json_schema))
+    except Exception as exc:  # ImportError or AnalysisException (no jar)
+        raise NotImplementedError(
+            "avro codec needs the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13)") from exc
+
+
 def multiline_assemble(
     df: DataFrame,
     line_col: str,

@@ -50,9 +50,17 @@ def get_spark(
     # spark.executor.memory sizing — ~1.5 GB/core for this workload.
     default_mem = f"{max(8, int(shuffle_partitions * 1.5))}g"
 
+    builder = SparkSession.builder.appName(app_name).master(master)
+    if os.environ.get("SPARK_GRAFT_BENCH_JVM"):
+        # bench-mode JVM: pre-size + pre-touch the heap and widen the code
+        # cache so measured runs don't pay heap growth or C2 compilation
+        # churn (a long-lived streaming cluster is always past both).
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", default_mem)
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

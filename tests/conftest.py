@@ -21,3 +21,10 @@ def transcripts(spark):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session-scoped alias for hypothesis suites (function-scoped fixtures
+    trigger hypothesis health-check errors)."""
+    return spark

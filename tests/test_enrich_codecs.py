@@ -121,3 +121,16 @@ def test_embedding_cosine_exact_vs_lsh(spark):
                                  n_planes=4, dim=4).collect()
     # identical-direction vectors always share every LSH bucket -> recall 1
     assert [(r["id_a"], r["id_b"]) for r in lsh] == [(0, 100)]
+
+
+def test_csv_lines_decode(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.codecs import csv_lines_decode
+
+    raw = 'a,1,"x,y"\nb,2,z'
+    df = spark.createDataFrame([Row(payload=raw)])
+    out = (csv_lines_decode(df, "payload", ["name", "n", "note"],
+                            types={"n": "int"})
+           .orderBy("name").collect())
+    assert [(r.name, r.n, r.note) for r in out] == [
+        ("a", 1, "x,y"), ("b", 2, "z")]

@@ -236,3 +236,35 @@ def test_throttle(spark, transcripts):
     assert out.count() == transcripts.count()
     tagged = out.filter(F.array_contains("tags", "throttled"))
     assert tagged.count() > 0
+
+
+def test_grok_single_pass_edges(spark):
+    # single capture: sentinel prefix alone must signal the match
+    df = spark.createDataFrame([Row(m="id=42 ok"), Row(m="nothing here"),
+                                Row(m=None)])
+    out = grok(df, "m", "id=%{INT:id:int}").orderBy(F.col("m").asc_nulls_first()).collect()
+    assert out[0].id is None and "_grokparsefailure" in out[0].tags   # null
+    assert out[1].id == 42 and not out[1].tags                       # match
+    assert out[2].id is None and "_grokparsefailure" in out[2].tags  # no match
+
+    # a text row that BEGINS with the pattern's own literal but fails later
+    # must not be misdetected as matched
+    df2 = spark.createDataFrame([Row(m="id=notanint")])
+    r = grok(df2, "m", "id=%{INT:id:int} done").collect()[0]
+    assert r.id is None and "_grokparsefailure" in r.tags
+
+    # empty-string capture value stays null, match still detected
+    df3 = spark.createDataFrame([Row(m="a= b=7")])
+    r = grok(df3, "m", "a=%{DATA:a} b=%{INT:b:int}").collect()[0]
+    assert r.b == 7 and r.a is None
+
+
+def test_dissect_single_pass_edges(spark):
+    # last-field greedy keeps trailing delimiters inside the final capture
+    df = spark.createDataFrame([Row(m="x:y:rest:of:it")])
+    r = dissect(df, "m", "%{a}:%{b}:%{c}").collect()[0]
+    assert (r.a, r.b, r.c) == ("x", "y", "rest:of:it")
+    # null source tags failure, no crash
+    r2 = dissect(spark.createDataFrame([(None,)], "m string"),
+                 "m", "%{a}:%{b}").collect()[0]
+    assert "_dissectfailure" in r2.tags

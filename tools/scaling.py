@@ -80,12 +80,21 @@ def child(cores: int, sf: float) -> None:
                       shuffle_partitions=cores,
                       extra_conf={"spark.local.dir": os.path.join(WORK_ROOT, "local")})
     n_turns = spark.read.parquet(src).count()
-    warm = _one_run(spark, src, f"{cores}w")
+    # warm to steady state (JMH-style): tiered JIT at high thread counts
+    # takes several full passes to settle; a long-lived streaming cluster
+    # is always past this.  Stop when the run stops improving >8%.
+    warms = [_one_run(spark, src, f"{cores}w0")]
+    for i in range(1, 5):
+        nxt = _one_run(spark, src, f"{cores}w{i}")
+        prev = warms[-1]
+        warms.append(nxt)
+        if nxt["sec"] > prev["sec"] * 0.92:
+            break
     runs = sorted((_one_run(spark, src, f"{cores}m{i}") for i in range(3)),
                   key=lambda r: r["sec"])
     med = runs[len(runs) // 2]
     print(json.dumps({"cores": cores, "sec": med["sec"], "phases": med["phases"],
-                      "warm": warm, "runs": runs, "turns": n_turns,
+                      "warms": warms, "runs": runs, "turns": n_turns,
                       "turns_per_sec": round(n_turns / med["sec"], 1)}))
 
 
@@ -118,9 +127,10 @@ def _timed(fn) -> float:
 
 
 def run_child(argv: list[str]) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_BENCH_JVM="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *argv],
-        capture_output=True, text=True, cwd=REPO, timeout=5400,
+        capture_output=True, text=True, cwd=REPO, timeout=5400, env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -164,9 +174,11 @@ parallelism level, fresh JVM per configuration (sandbox proxy for N vs 4N
 executors, per BASELINE.json north rule + driver instruction: no real
 cluster here, so parallelism levels = core counts).
 
-Methodology: per configuration, one full-input warm-up run is excluded
-(JIT + page-cache + heap first-touch — a long-lived cluster is always
-warm), then the MEDIAN of 3 measured runs is reported.  Sink, checkpoint
+Methodology: per configuration, full-input warm-up runs to steady state
+(<=5, stopping when <8% run-over-run improvement) are excluded — they pay
+tiered-JIT compilation, page-cache fill and heap growth that a long-lived
+streaming cluster never re-pays (bench JVMs also pre-size/pre-touch the
+heap) — then the MEDIAN of 3 measured runs is reported.  Sink, checkpoint
 and shuffle dirs are on tmpfs: on a real cluster these are per-node
 NVMe/object storage that scales with nodes; the sandbox's single shared
 virtio disk would otherwise dominate the measurement.
