@@ -257,6 +257,50 @@ def ensure_transcripts_parquet(sf: float, out_root: str = "/root/repo/data") -> 
     return path
 
 
+def ensure_transcripts_tsorted(spark, sf: float,
+                               out_root: str = "/root/repo/data",
+                               n_files: int | None = None) -> str:
+    """Delivery-ordered replay variant of the SF fixture (live-stream shape).
+
+    A live stream delivers events roughly in event-time order; the base
+    fixture's files are conv-contiguous instead (conv start times cycle),
+    which makes an incremental-watermark replay drop almost everything as
+    late.  This derives a deterministic variant ordered by DELIVERY time =
+    running max(ts) within each conversation (so the generator's
+    late-turn pathology — ts stepping backwards mid-conversation — is
+    preserved relative to the watermark, bounded by its 40-120 s skew),
+    range-partitioned into globally ordered files with file mtimes pinned
+    ascending (the file source orders its queue by mtime).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = ensure_transcripts_parquet(sf, out_root)
+    path = os.path.join(out_root, f"transcripts_sf{sf}_tsorted")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    if n_files is None:
+        n_files = max(len([f for f in os.listdir(src) if f.endswith(".parquet")]), 1)
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    (spark.read.parquet(src)
+     .withColumn("__delivery", F.max("ts").over(w))
+     .repartitionByRange(n_files, "__delivery")
+     .sortWithinPartitions("__delivery")
+     .drop("__delivery")
+     .write.mode("overwrite").parquet(path))
+    # pin mtimes ascending in partition order: range partition i of the
+    # write is file part-0000i-*, so name order == delivery order
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    base = int(os.path.getmtime(os.path.join(path, files[0]))) if files else 0
+    for i, f in enumerate(files):
+        os.utime(os.path.join(path, f), (base + i, base + i))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
 def generator_input_stream(spark, rows_per_second: int = 10_000,
                            n_tools: int | None = None):
     """Generator-input analog (reference: in-core Generator.java:49-87 —
