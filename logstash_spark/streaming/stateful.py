@@ -56,6 +56,13 @@ def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
     """Build the per-group stateful function (curried so gap/marker are
     plain broadcast closures, no driver state)."""
 
+    def _park(state, carry):
+        state.update(carry)
+        # timer at last activity + gap; must be ahead of the watermark
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(carry[2] // 1000 + gap_sec * 1000,
+                                      wm_ms + 1))
+
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
@@ -66,16 +73,56 @@ def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
             yield _emit(conv_id, n, first_us, last_us, tools, "timeout")
             return
 
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        chunks = list(pdf_iter)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        raw_ts = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+        raw_tool = pdf["role"] == "tool"
+        raw_done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
+        ndone = int(raw_done.sum())
+        carry0 = state.get if state.exists else None
+
+        def merged(n, first, last, tools, c):
+            if c is None:
+                return (n, first, last, tools)
+            return (n + c[0], min(first, c[1]), max(last, c[2]), tools + c[3])
+
+        # fast path A — no end marker in this batch: order-free stats merge
+        # (the dominant shape for live incremental batches; skips the
+        # sort + segment machinery, which is ~all of the per-group cost)
+        if ndone == 0:
+            _park(state, merged(len(pdf), int(raw_ts.min()), int(raw_ts.max()),
+                                int(raw_tool.sum()), carry0))
+            return
+        # fast path B — exactly one marker with an unambiguous timestamp:
+        # everything at-or-before it closes one task, the rest carries
+        # (the dominant drain/backfill shape)
+        if ndone == 1:
+            m_ts = int(raw_ts[raw_done].iloc[0])
+            if int((raw_ts == m_ts).sum()) == 1:
+                before = raw_ts <= m_ts
+                yield _emit(conv_id, *merged(int(before.sum()),
+                                             int(raw_ts[before].min()), m_ts,
+                                             int(raw_tool[before].sum()), carry0),
+                            "end_of_task")
+                after = ~before
+                if bool(after.any()):
+                    _park(state, (int(after.sum()), int(raw_ts[after].min()),
+                                  int(raw_ts[after].max()),
+                                  int(raw_tool[after].sum())))
+                elif state.exists:
+                    state.remove()
+                return
+
+        # general path: multiple markers / timestamp ties
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
-        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+        ts_us = pdf["ts"].astype("int64") // 1000
         is_tool = (pdf["role"] == "tool").astype("int64")
         done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
 
         # segment the batch at done-markers: rows up to and including each
         # marker close one task; the tail stays in state
         seg = done.cumsum().shift(fill_value=0)  # segment index per row
-        carry = state.get if state.exists else None
+        carry = carry0
 
         for seg_id, grp in pdf.groupby(seg.values, sort=True):
             g_ts = ts_us[grp.index]
@@ -95,11 +142,7 @@ def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
                 carry = (g_n, g_first, g_last, g_tools)
 
         if carry is not None:
-            state.update(carry)
-            # timer at last activity + gap; must be ahead of the watermark
-            wm_ms = state.getCurrentWatermarkMs()
-            timeout_ms = max(carry[2] // 1000 + gap_sec * 1000, wm_ms + 1)
-            state.setTimeoutTimestamp(timeout_ms)
+            _park(state, carry)
         elif state.exists:
             state.remove()
 
