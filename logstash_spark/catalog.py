@@ -506,7 +506,9 @@ SELECT conv_id,
        COUNT(*) AS n_turns,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
-       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns
+       -- CAST: DuckDB SUM(int) is HUGEINT (int128), which pandas renders as
+       -- float64 — the driver's value hash then sees 3.0 vs Spark's 3.
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
 FROM islands GROUP BY conv_id, island
 """)
 
@@ -533,7 +535,7 @@ WITH g AS (
          COALESCE(CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT), 0) AS bytes
   FROM transcripts)
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, role,
-       COUNT(*) AS n, SUM(bytes) AS sum_bytes
+       COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS sum_bytes
 FROM g GROUP BY 1, 2
 """)
 
@@ -600,7 +602,7 @@ def q_end_of_task(spark, sf_dir):
 
 ORACLE_END_OF_TASK = oracle_with_transcripts("""
 SELECT conv_id, COUNT(*) AS n_turns, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
-       SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_calls,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
 FROM transcripts
 GROUP BY conv_id
@@ -737,8 +739,8 @@ WITH marked AS (
   FROM transcripts),
 numbered AS (
   SELECT conv_id, turn_idx, text,
-         SUM(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                             ROWS UNBOUNDED PRECEDING) AS event_idx
+         CAST(SUM(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS event_idx
   FROM marked)
 SELECT conv_id, event_idx,
        string_agg(text, chr(10) ORDER BY turn_idx) AS message,
@@ -793,7 +795,7 @@ _rate_union = []
 for size, secs in [("1 hour", 3600), ("6 hours", 21600), ("1 day", 86400)]:
     _rate_union.append(f"""
 SELECT '{size}' AS window_size,
-       to_timestamp((CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT)) * {secs}) AS window_start,
+       CAST(to_timestamp((CAST(FLOOR(epoch(ts) / {secs}) AS BIGINT)) * {secs}) AS TIMESTAMP) AS window_start,
        role, COUNT(*) AS n, COUNT(*) / {secs}.0 AS rate_per_sec
 FROM transcripts GROUP BY 2, 3""")
 ORACLE_METRICS_RATES = oracle_with_transcripts(" UNION ALL ".join(_rate_union))

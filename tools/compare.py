@@ -18,21 +18,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm_cell(v):
+    """Normalize a cell for hashing.
+
+    Deliberately STRICTER than round-1: floats are tagged ('f' prefix) so an
+    int-vs-float dtype divergence (e.g. DuckDB HUGEINT -> pandas float64)
+    mismatches, and tz-aware datetimes keep their offset so TIMESTAMPTZ vs
+    naive TIMESTAMP mismatches — both were invisible to the old norm but
+    visible to the driver's gate (CORRECTNESS_r01: 5 hash/schema fails, all
+    uncast SUM->HUGEINT or to_timestamp->TIMESTAMPTZ in oracles)."""
     import datetime
     import math
 
     if v is None:
         return "\\N"
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "\\N"
+        return "f" + f"{v:.9g}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
-    if isinstance(v, (list, tuple)):
+        if v != v:  # NaT
+            return "\\N"
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
-        return "true" if v else "false"
     return str(v)
 
 
@@ -72,8 +82,9 @@ def compare(sf_dir: str, names: list[str] | None = None, spark=None):
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()          # pandas on BOTH sides, like the driver
+            scols = list(spd.columns)
+            srows = list(spd.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             results[name] = {"ok": False, "stage": "spark", "err": str(e)[:400]}
             continue
@@ -82,9 +93,9 @@ def compare(sf_dir: str, names: list[str] | None = None, spark=None):
                              "spark_rows": len(srows)}
             continue
         try:
-            cur = con.execute(oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opd = con.execute(oracle).df()
+            ocols = list(opd.columns)
+            orows = list(opd.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             results[name] = {"ok": False, "stage": "duckdb", "err": str(e)[:400]}
             continue
