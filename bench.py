@@ -40,7 +40,9 @@ HEADLINE = [
     "session_window", "tumbling_rollup", "sliding_rollup",
     "throttle", "aggregate_end_of_task", "elapsed",
     "multiline", "geoip", "metrics_rates",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    # dedup_embedding_lsh is the graded scale path (bucketed, oracle-gated);
+    # the O(N^2) exact variant stays in the catalog as its oracle twin only.
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce_topk", "lang_id", "text_quality",
 ]
 

@@ -919,6 +919,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 2).alias("cos_r"))
 
 
+def _oracle_dedup_lsh() -> str:
+    # planes/buckets recomputed from the md5 seed in SQL — fully independent
+    # of the Spark implementation (datahub/catalog.lsh_bucket_ctes).
+    from logstash_spark.datahub.catalog import lsh_bucket_ctes
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.5)
+  FROM embeddings WHERE vec_id < 50),
+{lsh_bucket_ctes(n_planes=4)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(ca.v, cb.v), 2) AS cos_r
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN corpus ca ON ca.vec_id = a.vec_id
+JOIN corpus cb ON cb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ca.v, cb.v) >= 0.999
+"""
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = _oracle_dedup_lsh()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -954,5 +978,5 @@ CATALOG: dict[str, tuple] = {
     "xml": (q_xml, ORACLE_XML),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
-    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, ORACLE_DEDUP_EMBEDDING_LSH),
 }

@@ -327,9 +327,35 @@ FROM h
 """
 
 
-# 11. LSH hyperplane bucketing (deterministic planes; rows-only would be weak,
-#     but the planes are md5-derived so the oracle CAN recompute sign bits —
-#     however 64-dim dot products in SQL are unwieldy; keep rows-only.)
+# 11. LSH hyperplane bucketing — oracle recomputes the md5-derived planes
+#     and sign bits from scratch in SQL (similarity.random_hyperplane_buckets
+#     coef: int(md5(f"{seed}|{p}|{d}")[:8], 16) / 0xFFFFFFFF * 2 - 1).
+
+def lsh_bucket_ctes(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB CTE chain computing sign-LSH buckets for a CTE named
+    ``corpus(vec_id, v DOUBLE[])``; exposes ``buckets(vec_id, bucket)``.
+
+    The per-plane dot product is a SUM over (component x coefficient) rows —
+    a different float summation order than Spark's sequential fold, but a
+    sign flip needs |dot| within ~1e-15 of zero, vanishingly unlikely for
+    O(1)-magnitude embedding dots."""
+    return f"""
+planes AS (
+  SELECT p, d,
+         (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}|', p, '|', d)), 1, 8)) AS BIGINT)
+          / 4294967295.0) * 2.0 - 1.0 AS c
+  FROM (SELECT UNNEST(generate_series(0, {n_planes - 1})) AS p),
+       (SELECT UNNEST(generate_series(0, {dim - 1})) AS d)),
+comps AS (
+  SELECT vec_id, v, UNNEST(generate_series(1, {dim})) AS i FROM corpus),
+comp2 AS (SELECT vec_id, i - 1 AS d, v[i] AS x FROM comps),
+dots AS (
+  SELECT c2.vec_id, pl.p, SUM(c2.x * pl.c) AS dp
+  FROM comp2 c2 JOIN planes pl ON pl.d = c2.d GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id, string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id)"""
+
 
 def q_ann_lsh_buckets(spark, sf_dir):
     from logstash_spark.datahub.similarity import random_hyperplane_buckets
@@ -340,6 +366,14 @@ def q_ann_lsh_buckets(spark, sf_dir):
                                    F.min("vec_id").alias("min_vec_id"))
 
 
+ORACLE_ANN_LSH = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{lsh_bucket_ctes(n_planes=8)}
+SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket
+"""
+
+
 DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
@@ -347,7 +381,7 @@ DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN_LSH),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_quality": (q_quality, ORACLE_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
