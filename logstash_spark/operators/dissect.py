@@ -69,14 +69,24 @@ def dissect(
     # rewrite the anchored match to sentinel-prefixed delimited captures,
     # split once; a non-match passes through unchanged, so the sentinel
     # prefix IS the match test — one regex pass total, no rlike.
+    # (?s) is correct here, unlike grok: dissect is positional, its fields
+    # legitimately span newlines (the reference tokenizer is not a regex and
+    # has no line-boundary concept).
+    # Rows whose source contains the sentinel route per-row to the
+    # per-group regexp_extract path so the packing can't be confused.
     DELIM = "\x1e"
+    rx = f"(?s){d.regex}"
     repl = DELIM + DELIM.join(f"${d.group_of(f)}" for f in d.fields)
-    packed = F.regexp_replace(src, f"(?s){d.regex}", repl)
-    ok = src.isNotNull() & packed.startswith(DELIM)
+    packed = F.regexp_replace(src, rx, repl)
+    has_delim = F.coalesce(src.contains(DELIM), F.lit(False))
+    ok = src.isNotNull() & F.when(has_delim, src.rlike(rx)) \
+                            .otherwise(packed.startswith(DELIM))
     arr = F.split(packed, DELIM, -1)
     cols = {}
     for i, f in enumerate(d.fields):
-        col = F.element_at(arr, i + 2)
+        fast = F.element_at(arr, i + 2)
+        slow = F.regexp_extract(src, rx, d.group_of(f))
+        col = F.when(has_delim, slow).otherwise(fast)
         col = F.when(ok & (col != ""), col)
         cast = (convert or {}).get(f)
         if cast:

@@ -130,15 +130,21 @@ class CompiledGrok:
     # regexp_extract-per-group re-scans the string once per field (N+1
     # regex passes incl. the match test); this is 1 pass total — regex
     # time dominates the parse stage's cost at 100 TB.
-    # Caveat: source values containing \\x1e (ASCII record separator)
-    # would confuse the sentinel/split; callers with binary-ish sources
-    # should use matched()/extract() (per-group regexp_extract path).
+    # Rows whose source contains \\x1e (ASCII record separator) would
+    # confuse the sentinel/split, so grok() routes exactly those rows
+    # through matched()/extract() per-row (CASE WHEN short-circuits in
+    # codegen; the N+1-pass path only evaluates for sentinel-bearing rows).
     DELIM = "\x1e"
 
     def packed_col(self, col: Column) -> Column:
         repl = self.DELIM + self.DELIM.join(
             f"${self._group_of[f]}" for f, _ in self.captures)
-        wrap = f"(?s)^.*?(?:{self.regex}).*$"
+        # DOTALL is scoped to the WRAPPER only ([\s\S] instead of a global
+        # (?s)): reference grok (Oniguruma) excludes newline from `.`, so
+        # DATA/GREEDYDATA inside the user pattern must not cross lines of a
+        # multiline-assembled event, while the wrapper still consumes the
+        # whole (possibly multiline) string around the match.
+        wrap = f"^[\\s\\S]*?(?:{self.regex})[\\s\\S]*$"
         return F.regexp_replace(col, wrap, repl)
 
     def matched_from_packed(self, col: Column, packed: Column) -> Column:
@@ -162,17 +168,31 @@ def grok(
     patterns: dict[str, str] | None = None,
     tag_on_failure: str = "_grokparsefailure",
     keep_unmatched: bool = True,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Apply a grok match: add one column per named capture; tag failures.
 
     Matches reference behavior: unmatched events pass through with the
     failure tag and null capture columns.
+
+    ``single_pass=True`` packs all captures into one regex pass; rows whose
+    source contains the packing sentinel (\\x1e) automatically fall back to
+    the per-group path, so results are identical either way.
+    ``single_pass=False`` forces the per-group regexp_extract path.
     """
     g = CompiledGrok(template, patterns)
     src = F.col(source)
-    packed = g.packed_col(src)
-    ok = g.matched_from_packed(src, packed)
-    cols = g.extract_all(ok, packed)
+    if single_pass:
+        packed = g.packed_col(src)
+        has_delim = F.coalesce(src.contains(g.DELIM), F.lit(False))
+        ok = F.when(has_delim, g.matched(src)) \
+             .otherwise(g.matched_from_packed(src, packed))
+        cols = g.extract_all(ok & ~has_delim, packed)
+        cols = {f: F.when(has_delim, g.extract(src, f)).otherwise(c)
+                for f, c in cols.items()}
+    else:
+        ok = g.matched(src)
+        cols = {f: F.when(ok, g.extract(src, f)) for f, _ in g.captures}
     df = df.withColumns(cols)
     df = add_tag(df, tag_on_failure, when=~ok)
     if not keep_unmatched:

@@ -77,18 +77,27 @@ class ExactlyOnceParquetSink:
         # row count from parquet footers, read driver-side with pyarrow —
         # no Spark job at all (a count() here would run the whole pipeline
         # twice; even spark.read...count() pays listing + job scheduling)
-        n = self._footer_rows(target)
+        n = self._footer_rows(target, df.sparkSession)
         self._commit(epoch_id, {"rows": n, "ts": time.time()})
 
     @staticmethod
-    def _footer_rows(target: str) -> int:
-        import pyarrow.parquet as pq
+    def _footer_rows(target: str, spark=None) -> int:
+        # Fast path assumes driver-local POSIX storage (this sandbox). On a
+        # real cluster the sink path is typically object storage / HDFS, so
+        # fall back to a footer-only Spark count — reading the just-written
+        # parquet costs metadata-only I/O, not a recompute of the pipeline.
+        if os.path.isdir(target):
+            import pyarrow.parquet as pq
 
-        return sum(
-            pq.read_metadata(os.path.join(target, f)).num_rows
-            for f in os.listdir(target)
-            if f.endswith(".parquet")
-        )
+            return sum(
+                pq.read_metadata(os.path.join(target, f)).num_rows
+                for f in os.listdir(target)
+                if f.endswith(".parquet")
+            )
+        if spark is None:
+            raise ValueError(f"non-local sink path {target!r} needs a SparkSession "
+                             "to count committed rows")
+        return spark.read.parquet(target).count()
 
     def foreach_batch(self):
         return lambda df, eid: self.handle(df, eid)

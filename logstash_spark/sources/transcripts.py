@@ -277,7 +277,11 @@ def ensure_transcripts_tsorted(spark, sf: float,
 
     src = ensure_transcripts_parquet(sf, out_root)
     path = os.path.join(out_root, f"transcripts_sf{sf}_tsorted")
-    marker = os.path.join(path, "_SUCCESS")
+    # Done-marker must be distinct from Spark's _SUCCESS: the parquet write
+    # creates _SUCCESS BEFORE the mtime-pinning loop below, so a crash in
+    # between would leave a fixture that passes an _SUCCESS check with
+    # unpinned mtimes, silently breaking delivery-ordered replay (ADVICE r1).
+    marker = os.path.join(path, "_READY")
     if os.path.exists(marker):
         return path
     if n_files is None:

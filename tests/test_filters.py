@@ -268,3 +268,58 @@ def test_dissect_single_pass_edges(spark):
     r2 = dissect(spark.createDataFrame([(None,)], "m string"),
                  "m", "%{a}:%{b}").collect()[0]
     assert "_dissectfailure" in r2.tags
+
+
+def test_grok_dot_excludes_newline(spark):
+    """Reference grok (Oniguruma) excludes newline from `.`: DATA/GREEDYDATA
+    must not cross lines of a multiline-assembled event (ADVICE r1)."""
+    df = spark.createDataFrame([
+        Row(m="level=ERROR msg=disk full\nstacktrace line two"),
+        Row(m="level=ERROR\nmsg=on another line"),  # DATA can't bridge the \n
+    ])
+    out = grok(df, "m", "level=%{WORD:lvl} msg=%{GREEDYDATA:rest}").collect()
+    r0 = [r for r in out if r.m.startswith("level=ERROR msg=")][0]
+    assert r0.lvl == "ERROR"
+    assert r0.rest == "disk full"          # stops at the newline
+    r1 = [r for r in out if "\nmsg=" in r.m][0]
+    assert "_grokparsefailure" in r1.tags  # match cannot span the newline
+    assert r1.rest is None
+
+
+def test_grok_sentinel_source_rows(spark):
+    """Source values containing \\x1e route to the per-group path and still
+    produce correct captures / failure tags (ADVICE r1)."""
+    df = spark.createDataFrame([
+        Row(m="\x1estatus=200 bytes=1 tool=t msg=ok"),    # matches, has sentinel
+        Row(m="\x1e not matching at all"),                 # no match, has sentinel
+        Row(m="status=400 bytes=2 tool=u msg=no"),         # plain fast path
+    ])
+    out = {r.m: r for r in grok(df, "m", GROK_TPL).collect()}
+    ok = out["\x1estatus=200 bytes=1 tool=t msg=ok"]
+    assert (ok.status, ok.bytes, ok.tool_name, ok.msg) == (200, 1, "t", "ok")
+    assert "_grokparsefailure" not in (ok.tags or [])
+    bad = out["\x1e not matching at all"]
+    assert "_grokparsefailure" in bad.tags and bad.status is None
+    plain = out["status=400 bytes=2 tool=u msg=no"]
+    assert (plain.status, plain.msg) == (400, "no")
+
+
+def test_grok_single_pass_false_parity(spark, transcripts):
+    fast = grok(transcripts, "text", GROK_TPL).select(
+        "conv_id", "turn_idx", "status", "bytes", "tool_name", "msg", "tags")
+    slow = grok(transcripts, "text", GROK_TPL, single_pass=False).select(
+        "conv_id", "turn_idx", "status", "bytes", "tool_name", "msg", "tags")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_dissect_sentinel_source_rows(spark):
+    df = spark.createDataFrame([
+        Row(m="\x1ealpha beta"),     # leading sentinel, still matches %{a} %{b}
+        Row(m="\x1e-no-space"),      # sentinel, no match
+    ])
+    out = {r.m: r for r in dissect(df, "m", "%{a} %{b}").collect()}
+    ok = out["\x1ealpha beta"]
+    assert (ok.a, ok.b) == ("\x1ealpha", "beta")
+    assert "_dissectfailure" not in (ok.tags or [])
+    assert "_dissectfailure" in out["\x1e-no-space"].tags
