@@ -720,6 +720,87 @@ FROM transcripts
 
 
 # ---------------------------------------------------------------------------
+# 23b. apache end-to-end: the reference benchmark's own pipeline shape
+#      (tools/benchmark-cli/.../cases/apache.cfg:1-29) — COMBINEDAPACHELOG-
+#      style grok + date + geoip + useragent, compiled from LSCL text.
+# ---------------------------------------------------------------------------
+
+APACHE_LSCL = r"""
+filter {
+  grok {
+    match => {
+      "line" => '%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:apache_ts}\] "%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" %{NUMBER:response:int} (?:-|%{NUMBER:apache_bytes:int}) %{QS:referrer} %{QS:agent}'
+    }
+  }
+  date { match => [ "apache_ts", "dd/MMM/YYYY:HH:mm:ss Z" ] target => "apache_time" }
+  geoip { source => "clientip" }
+  useragent { source => "agent" }
+}
+"""
+
+
+def _apache_lines(spark, sf_dir):
+    """Deterministic apache-log lines derived from the transcript fields."""
+    from logstash_spark.operators.grok import grok
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL).filter(F.col("status").isNotNull())
+    ip = F.concat(F.lit("10."), F.pmod("bytes", F.lit(256)).cast("string"),
+                  F.lit(".0."), F.pmod("status", F.lit(256)).cast("string"))
+    ua_arr = F.array(*[F.lit(u) for u in UA_SAMPLES])
+    ua = F.element_at(ua_arr, F.pmod("turn_idx", F.lit(4)) + 1)
+    line = F.concat(
+        ip, F.lit(" - frank ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000] \"GET /t/"),
+        F.col("turn_idx").cast("string"), F.lit(" HTTP/1.1\" "),
+        F.col("status").cast("string"), F.lit(" "),
+        F.col("bytes").cast("string"), F.lit(" \"-\" \""), ua, F.lit("\""))
+    return t.select("conv_id", "turn_idx", line.alias("line"))
+
+
+def q_apache_pipeline(spark, sf_dir):
+    from logstash_spark.operators.enrich import cidr_blocks_df
+    from logstash_spark.plans.lscl import compile_lscl
+
+    blocks = cidr_blocks_df(spark, GEO_BLOCKS)
+    pipe = compile_lscl(APACHE_LSCL, context={"geoip_blocks": blocks})
+    out = pipe(_apache_lines(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", "clientip", "verb", "request", "httpversion",
+        F.col("response").cast("long").alias("response"),
+        F.col("apache_bytes").cast("long").alias("apache_bytes"),
+        F.unix_timestamp("apache_time").alias("ts_epoch"),
+        "geo_country", "geo_city", "ua_name", "ua_version",
+        F.array_contains("tags", "_grokparsefailure").alias("apache_grok_failed"),
+    )
+
+
+ORACLE_APACHE = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes
+  FROM transcripts),
+f AS (SELECT conv_id, turn_idx, ts, status, bytes,
+             bytes % 256 AS x, status % 256 AS y
+      FROM g WHERE status IS NOT NULL)
+SELECT conv_id, turn_idx,
+       CONCAT('10.', CAST(x AS VARCHAR), '.0.', CAST(y AS VARCHAR)) AS clientip,
+       'GET' AS verb,
+       CONCAT('/t/', CAST(turn_idx AS VARCHAR)) AS request,
+       '1.1' AS httpversion,
+       status AS response,
+       bytes AS apache_bytes,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CASE WHEN x <= 127 THEN 'US' WHEN x <= 191 THEN 'DE' END AS geo_country,
+       CASE WHEN x <= 127 THEN 'new-york' WHEN x <= 191 THEN 'berlin' END AS geo_city,
+       CASE turn_idx % 4 {_ua_name} END AS ua_name,
+       CASE turn_idx % 4 {_ua_ver} END AS ua_version,
+       FALSE AS apache_grok_failed
+FROM f
+""")
+
+
+# ---------------------------------------------------------------------------
 # 24. multiline codec (RAW| lines continue the previous event)
 # ---------------------------------------------------------------------------
 
@@ -971,6 +1052,7 @@ CATALOG: dict[str, tuple] = {
     "elapsed": (q_elapsed, ORACLE_ELAPSED),
     "geoip": (q_geoip, ORACLE_GEOIP),
     "useragent": (q_useragent, ORACLE_USERAGENT),
+    "apache_pipeline": (q_apache_pipeline, ORACLE_APACHE),
     "multiline": (q_multiline, ORACLE_MULTILINE),
     "dlq_route": (q_dlq_route, ORACLE_DLQ),
     "metrics_rates": (q_metrics_rates, ORACLE_METRICS_RATES),

@@ -18,6 +18,8 @@ Failure tag = result-is-null branch.  No UDF, no shuffle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,9 @@ _JODA_TO_JAVA = [
 
 
 def joda_to_java(fmt: str) -> str:
+    # Joda 'Y' is year-of-era (apache.cfg uses dd/MMM/YYYY:...); java.time
+    # 'Y' is week-based-year, which Spark's parser rejects — map to 'y'.
+    fmt = re.sub(r"Y+", lambda m: "y" * len(m.group(0)), fmt)
     # 'Z' inside quoted literals is untouched; our formats don't quote Z.
     for jd, jv in _JODA_TO_JAVA:
         fmt = fmt.replace(jd, jv)

@@ -49,21 +49,38 @@ def cidr_blocks_df(spark: SparkSession,
 
 
 def geoip(df: DataFrame, ip_col: str, blocks: DataFrame,
-          tag_on_miss: str = "_geoip_lookup_failure") -> DataFrame:
-    """Broadcast range join: ip in [net_lo, net_hi] -> geo columns.
+          tag_on_miss: str = "_geoip_lookup_failure",
+          bucket_bits: int = 16) -> DataFrame:
+    """Prefix-bucketed broadcast HASH join: ip in [net_lo, net_hi] -> geo.
+
+    A pure range condition would plan as BroadcastNestedLoopJoin — O(rows x
+    blocks), fatal with a real MaxMind-size table (~3M blocks).  Instead
+    each block is exploded to the /``bucket_bits`` prefix buckets it spans
+    (JVM-side sequence/explode on the dim only; MaxMind blocks are mostly
+    /16../24 so expansion ~1x) and the join is an equi-join on the bucket
+    with the range check as a join filter — Spark plans BroadcastHashJoin:
+    each event hashes into exactly one bucket's (tiny) block list.
 
     Left join keeps non-matching events (reference tags them
     `_geoip_lookup_failure`).  The dim is broadcast so the event stream
-    stays un-shuffled regardless of scale.
+    stays un-shuffled regardless of scale; with non-overlapping CIDRs each
+    IP matches at most one block.
     """
     from logstash_spark.functions.decorators import add_tag
 
+    shift = 32 - bucket_bits
+    dim = blocks.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.shiftright("net_lo", shift),
+                             F.shiftright("net_hi", shift))))
     ip_l = ip_to_long(F.col(ip_col))
     out = df.withColumn("__ip_l", ip_l).join(
-        F.broadcast(blocks),
-        (F.col("__ip_l") >= F.col("net_lo")) & (F.col("__ip_l") <= F.col("net_hi")),
+        F.broadcast(dim),
+        (F.shiftright(F.col("__ip_l"), shift) == F.col("__bucket"))
+        & (F.col("__ip_l") >= F.col("net_lo"))
+        & (F.col("__ip_l") <= F.col("net_hi")),
         "left",
-    ).drop("__ip_l", "net_lo", "net_hi", "cidr")
+    ).drop("__ip_l", "__bucket", "net_lo", "net_hi", "cidr")
     return add_tag(out, tag_on_miss, when=F.col("geo_country").isNull())
 
 

@@ -27,42 +27,9 @@ from pyspark.sql import functions as F
 
 from logstash_spark.functions.decorators import add_tag
 
-# Public grok base patterns (subset of the grok ecosystem's core library —
-# these definitions are public domain regex idioms; semantics per
-# docs/reference/field-extraction.md).
-BASE_PATTERNS: dict[str, str] = {
-    "WORD": r"\b\w+\b",
-    "NOTSPACE": r"\S+",
-    "SPACE": r"\s*",
-    "DATA": r".*?",
-    "GREEDYDATA": r".*",
-    "INT": r"[+-]?(?:[0-9]+)",
-    "BASE10NUM": r"[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+))",
-    "NUMBER": r"[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+))",
-    "POSINT": r"\b[1-9][0-9]*\b",
-    "NONNEGINT": r"\b[0-9]+\b",
-    "BOOLEAN": r"(?i)(?:true|false)",
-    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
-    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
-    "QS": r"\"(?:[^\"\\]|\\.)*\"",
-    "QUOTEDSTRING": r"\"(?:[^\"\\]|\\.)*\"",
-    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b",
-    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
-    "YEAR": r"(?:\d\d){1,2}",
-    "HOUR": r"(?:2[0123]|[01]?[0-9])",
-    "MINUTE": r"(?:[0-5][0-9])",
-    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
-    "TIME": r"(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
-    "HTTPDATE": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(?:\d\d){1,2}:(?:2[0123]|[01][0-9]):(?:[0-5][0-9]):(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?) [+-](?:\d{4})",
-    "TIMESTAMP_ISO8601": r"(?:\d\d){1,2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])[T ](?:2[0123]|[01]?[0-9]):?(?:[0-5][0-9])(?::?(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?))?(?:Z|[+-](?:2[0123]|[01]?[0-9])(?::?(?:[0-5][0-9])))?",
-    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
-    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
-    "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
-    "IPORHOST": None,  # composed below
-}
-BASE_PATTERNS["IPORHOST"] = f"(?:{BASE_PATTERNS['IPV4']}|{BASE_PATTERNS['HOSTNAME']})"
+# Full standard pattern library (grok_patterns.PATTERNS, ~100 entries incl.
+# COMBINEDAPACHELOG / SYSLOGBASE composites); kept under the historical name.
+from logstash_spark.operators.grok_patterns import PATTERNS as BASE_PATTERNS
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(\w+))?\}")
 
@@ -92,18 +59,22 @@ class CompiledGrok:
                 name, field, typ = m.group(1), m.group(2), m.group(3)
                 if name not in lib:
                     raise KeyError(f"unknown grok pattern %{{{name}}}")
-                body = expand(lib[name], depth + 1)
                 if field:
+                    # reserve the group number BEFORE expanding the body: the
+                    # outer '(' precedes any nested %{X:y} captures in the
+                    # regex text, and Java numbers groups by '(' position
+                    # (matters for composites like %{SYSLOGBASE:hdr} whose
+                    # bodies carry their own semantic captures)
                     group_counter[0] += 1
-                    # neutralize inner capturing groups: grok lib patterns
-                    # here are written non-capturing already
                     self.captures.append((field, _TYPE_CAST.get(typ) if typ else None))
                     self._group_of[field] = group_counter[0]
+                    body = expand(lib[name], depth + 1)
+                    # library patterns are non-capturing-only ((?:...)), so
+                    # only %{}-references consume group numbers — asserted by
+                    # tests/test_filters.py::test_grok_pattern_library_compiles
                     out.append(f"({body})")
-                    # account for any capturing groups inside body (none in
-                    # our library, which uses (?:...) exclusively)
                 else:
-                    out.append(f"(?:{body})")
+                    out.append(f"(?:{expand(lib[name], depth + 1)})")
             out.append(tpl[pos:])
             return "".join(out)
 

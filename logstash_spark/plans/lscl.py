@@ -381,13 +381,19 @@ _SUPPORTED_PLUGINS = frozenset({
     "grok", "dissect", "mutate", "date", "kv", "csv", "json", "xml",
     "fingerprint", "uuid", "anonymize", "translate", "prune", "de_dot",
     "truncate", "urldecode", "syslog_pri", "cidr", "drop", "clone",
-    "split", "useragent",
+    "split", "useragent", "geoip",
 })
 
 
-def compile_plugin(node: PluginNode) -> Stage:
+def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
     """One plugin instance -> a Stage.  Decorator attrs (filters/base.rb:
-    195-226) are applied under the plugin's success predicate."""
+    195-226) are applied under the plugin's success predicate.
+
+    ``context`` supplies session-level resources a config references by
+    name: ``geoip_blocks`` (DataFrame of CIDR blocks, the MaxMind-table
+    analog — the reference ships a database file, we take a DataFrame).
+    """
+    context = context or {}
     if node.name not in _SUPPORTED_PLUGINS:
         raise SyntaxError(
             f"LSCL: unsupported filter plugin {node.name!r} (supported: "
@@ -503,7 +509,18 @@ def compile_plugin(node: PluginNode) -> Stage:
             return split_field(df, a["field"], a.get("terminator", "\n"))
         if name == "useragent":
             from logstash_spark.operators.enrich import useragent
-            return useragent(df, a.get("source", "message"))
+            prefix = a.get("target")
+            return useragent(df, a.get("source", "message"),
+                             target_prefix=f"{prefix}_" if prefix else "ua_")
+        if name == "geoip":
+            from logstash_spark.operators.enrich import geoip
+            blocks = context.get("geoip_blocks")
+            if blocks is None:
+                raise SyntaxError(
+                    "LSCL: geoip needs context={'geoip_blocks': <blocks DataFrame>} "
+                    "(cidr network/country/city columns — see "
+                    "operators/enrich.cidr_blocks_df)")
+            return geoip(df, a.get("source", "message"), blocks)
         raise SyntaxError(
             f"LSCL: unsupported filter plugin {name!r} (supported: see "
             f"logstash_spark/plans/lscl.py docstring)")
@@ -531,37 +548,181 @@ def compile_plugin(node: PluginNode) -> Stage:
     return Stage(op_with_decorators, name)
 
 
-def compile_items(nodes: list) -> list:
+def compile_items(nodes: list, context: dict | None = None) -> list:
     stages = []
     for n in nodes:
         if isinstance(n, PluginNode):
-            stages.append(compile_plugin(n))
+            stages.append(compile_plugin(n, context))
         else:
-            stages.append(_compile_if(n))
+            stages.append(_compile_if(n, context))
     return stages
 
 
-def _compile_if(node: IfNode) -> If:
+def _compile_if(node: IfNode, context: dict | None = None) -> If:
     """if / else if / else -> nested If (SplitDataset + lazy Complement
     shape, CompiledPipeline.java:564-586)."""
     def build(branches, else_nodes):
         (expr, body), *rest = branches
         otherwise = (build(rest, else_nodes) if rest
-                     else (compile_items(else_nodes) if else_nodes else []))
+                     else (compile_items(else_nodes, context) if else_nodes else []))
         cond = expr  # close over AST; compile per-DataFrame call
         return If(lambda df, _c=cond: compile_expr(_c),
-                  then=compile_items(body),
+                  then=compile_items(body, context),
                   otherwise=otherwise if isinstance(otherwise, list) else [otherwise])
     return build(node.branches, node.else_nodes)
 
 
-def compile_lscl(config_text: str) -> Pipeline:
-    """Parse LSCL text; return a Pipeline for its filter section."""
+def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
+    """Parse LSCL text; return a Pipeline for its filter section.
+
+    Rejects configs with input/output sections — use compile_lscl_job for a
+    complete three-section config.
+    """
     sections = Parser(tokenize(config_text)).parse_config()
     if "input" in sections or "output" in sections:
         unsupported = [s for s in ("input", "output") if s in sections]
         raise SyntaxError(
-            f"LSCL: {unsupported} sections are not compiled — wire sources/"
-            f"sinks via logstash_spark.sources / logstash_spark.sinks "
-            f"(SURVEY.md §2.4-2.5); pass only the filter section here")
-    return Pipeline(compile_items(sections.get("filter", [])))
+            f"LSCL: {unsupported} present — compile_lscl handles the filter "
+            f"section only; use compile_lscl_job(text, ...) to run a complete "
+            f"config (generator/file/stdin inputs, file/stdout outputs)")
+    return Pipeline(compile_items(sections.get("filter", []), context))
+
+
+# ---------------------------------------------------------------------------
+# full-config jobs: input/output sections (SURVEY.md §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+_SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin"})
+_SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null"})
+
+
+class LsclJob:
+    """A complete compiled LSCL config: input -> filter Pipeline -> output.
+
+    Reference analog: the agent's converge cycle builds one pipeline object
+    from all three config sections (logstash-core/lib/logstash/agent.rb);
+    here inputs become batch DataFrame reads (streaming variants live in
+    streaming/jobs.py), the filter section is the same Pipeline that
+    compile_lscl produces, and outputs are writes (file) or pass-throughs
+    (stdout/null — row-printing sinks are driver concerns, not plans).
+
+    Multiple inputs union (the reference merges input queues); `if` inside
+    the output section routes rows per-sink via the same predicate compiler.
+    """
+
+    def __init__(self, sections: dict, context: dict | None = None):
+        self.context = context or {}
+        self.inputs = sections.get("input", [])
+        self.outputs = sections.get("output", [])
+        self.pipeline = Pipeline(compile_items(sections.get("filter", []),
+                                               self.context))
+        for n in self.inputs:
+            if not isinstance(n, PluginNode) or n.name not in _SUPPORTED_INPUTS:
+                raise SyntaxError(
+                    f"LSCL: unsupported input {getattr(n, 'name', n)!r} "
+                    f"(supported: {', '.join(sorted(_SUPPORTED_INPUTS))})")
+        for n in self.outputs:
+            if isinstance(n, IfNode):
+                continue
+            if n.name not in _SUPPORTED_OUTPUTS:
+                raise SyntaxError(
+                    f"LSCL: unsupported output {n.name!r} "
+                    f"(supported: {', '.join(sorted(_SUPPORTED_OUTPUTS))})")
+
+    # -- input section ---------------------------------------------------------
+
+    def source(self, spark, stdin_df: DataFrame | None = None) -> DataFrame:
+        dfs = []
+        for n in self.inputs:
+            dfs.append(self._one_source(spark, n, stdin_df))
+        if not dfs:
+            raise SyntaxError("LSCL: config has no input section")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _one_source(spark, n: PluginNode, stdin_df) -> DataFrame:
+        a = n.attrs
+        if n.name == "stdin":
+            if stdin_df is None:
+                raise SyntaxError(
+                    "LSCL: stdin{} input — pass stdin_df=<DataFrame with a "
+                    "'message' column> to source()/run()")
+            return stdin_df
+        if n.name == "generator":
+            # reference in-core generator (Generator.java:49-87): emit
+            # `message` `count` times with a sequence number
+            count = int(a.get("count", 1) or 1)
+            msgs = a.get("lines") or [a.get("message", "Hello world!")]
+            if not isinstance(msgs, list):
+                msgs = [msgs]
+            arr = F.array(*[F.lit(m) for m in msgs])
+            return (spark.range(count * len(msgs))
+                    .select((F.col("id") / len(msgs)).cast("long").alias("sequence"),
+                            F.element_at(arr, (F.col("id") % len(msgs)).cast("int") + 1)
+                            .alias("message")))
+        if n.name == "file":
+            paths = a["path"] if isinstance(a["path"], list) else [a["path"]]
+            codec = a.get("codec", "line")
+            if codec in ("line", "plain"):
+                return spark.read.text(*paths).withColumnRenamed("value", "message")
+            if codec == "json_lines" or codec == "json":
+                return spark.read.json(*paths)
+            if codec == "parquet":
+                return spark.read.parquet(*paths)
+            raise SyntaxError(f"LSCL: unsupported file input codec {codec!r}")
+        raise AssertionError(n.name)
+
+    # -- output section ---------------------------------------------------------
+
+    def apply_outputs(self, df: DataFrame) -> DataFrame:
+        for n in self.outputs:
+            self._one_output(df, n)
+        return df
+
+    def _one_output(self, df: DataFrame, n) -> None:
+        if isinstance(n, IfNode):
+            # conditional routing in the output section: filter per branch
+            remaining = df
+            for expr, body in n.branches:
+                pred = compile_expr(expr)
+                for inner in body:
+                    self._one_output(remaining.filter(pred), inner)
+                remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))
+            for inner in (n.else_nodes or []):
+                self._one_output(remaining, inner)
+            return
+        a = n.attrs
+        if n.name in ("stdout", "null"):
+            return  # row-printing/discard sinks: no plan effect in batch
+        if n.name == "file":
+            codec = a.get("codec", "json_lines")
+            path = a["path"]
+            writer = df.write.mode("overwrite")
+            if codec == "json_lines":
+                writer.json(path)
+            elif codec in ("line", "plain"):
+                col = a.get("message_field", "message")
+                df.select(F.col(col).cast("string").alias("value")) \
+                  .write.mode("overwrite").text(path)
+            elif codec == "csv":
+                writer.option("header", "true").csv(path)
+            elif codec == "parquet":
+                writer.parquet(path)
+            else:
+                raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
+            return
+        raise AssertionError(n.name)
+
+    # -- end to end ---------------------------------------------------------------
+
+    def run(self, spark, stdin_df: DataFrame | None = None) -> DataFrame:
+        out = self.pipeline(self.source(spark, stdin_df))
+        return self.apply_outputs(out)
+
+
+def compile_lscl_job(config_text: str, context: dict | None = None) -> LsclJob:
+    """Compile a COMPLETE config (input+filter+output) into an LsclJob."""
+    return LsclJob(Parser(tokenize(config_text)).parse_config(), context)

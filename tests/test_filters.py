@@ -323,3 +323,54 @@ def test_dissect_sentinel_source_rows(spark):
     assert (ok.a, ok.b) == ("\x1ealpha", "beta")
     assert "_dissectfailure" not in (ok.tags or [])
     assert "_dissectfailure" in out["\x1e-no-space"].tags
+
+
+def test_grok_pattern_library_compiles():
+    """Every library pattern expands to a regex whose capture-group count
+    equals the number of %{X:field} references (library bodies must be
+    non-capturing) and compiles under Python re (no Java-only syntax)."""
+    import re as _re
+    from logstash_spark.operators.grok import CompiledGrok
+    from logstash_spark.operators.grok_patterns import PATTERNS
+
+    for name in PATTERNS:
+        g = CompiledGrok(f"%{{{name}}}")
+        compiled = _re.compile(g.regex)
+        assert compiled.groups == len(g.captures), (
+            f"{name}: {compiled.groups} regex groups vs {len(g.captures)} captures")
+
+
+def test_grok_combinedapachelog_composite(spark):
+    line = ('93.180.71.3 - - [17/May/2015:08:05:32 +0000] '
+            '"GET /downloads/product_1 HTTP/1.1" 304 - '
+            '"-" "Debian APT-HTTP/1.3 (0.8.16~exp12ubuntu10.21)"')
+    df = spark.createDataFrame([Row(message=line)])
+    r = grok(df, "message", "%{COMBINEDAPACHELOG}").collect()[0]
+    assert r.clientip == "93.180.71.3"
+    assert r.ident == "-" and r.auth == "-"  # USER matches '-' (reference parity)
+    assert r.timestamp == "17/May/2015:08:05:32 +0000"
+    assert r.verb == "GET" and r.request == "/downloads/product_1"
+    assert r.httpversion == "1.1" and r.response == "304"
+    assert r.bytes is None  # '-' branch
+    assert r.referrer == '"-"'
+    assert r.agent == '"Debian APT-HTTP/1.3 (0.8.16~exp12ubuntu10.21)"'
+
+
+def test_grok_sysloglive_composite(spark):
+    line = "Mar 16 00:01:25 evita postfix/smtpd[1713]: connect from camomile.cloud9.net[168.100.1.3]"
+    df = spark.createDataFrame([Row(message=line)])
+    r = grok(df, "message", "%{SYSLOGLINE}").collect()[0]
+    assert r.timestamp == "Mar 16 00:01:25"
+    assert r.logsource == "evita"
+    assert r.program == "postfix/smtpd" and r.pid == "1713"
+    assert r.message.startswith("connect from camomile")
+
+
+def test_grok_nested_named_capture_numbering(spark):
+    """%{COMPOSITE:outer} with named captures inside must number groups by
+    paren position (outer first)."""
+    df = spark.createDataFrame([Row(m="Mar 16 00:01:25 evita cron[7]: run")])
+    r = grok(df, "m", "%{SYSLOGBASE:header} %{GREEDYDATA:rest}").collect()[0]
+    assert r.header == "Mar 16 00:01:25 evita cron[7]:"
+    assert r.logsource == "evita" and r.program == "cron" and r.pid == "7"
+    assert r.rest == "run"

@@ -154,7 +154,7 @@ def test_nested_if(spark):
 def test_unsupported_plugin_and_sections_raise(spark):
     with pytest.raises(SyntaxError, match="unsupported filter plugin"):
         compile_lscl('filter { frobnicate { x => 1 } }')
-    with pytest.raises(SyntaxError, match="sources"):
+    with pytest.raises(SyntaxError, match="compile_lscl_job"):
         compile_lscl('input { stdin {} } filter { }')
 
 
@@ -179,3 +179,111 @@ def test_date_and_translate_roundtrip(spark):
     assert "_dateparsefailure" in out["unknown_tool"]["tags"]
     assert out["search"]["cat"] == "retrieval"
     assert out["unknown_tool"]["cat"] == "other"
+
+
+APACHE_CFG = r"""
+input {
+  stdin { }
+}
+
+filter {
+  grok {
+    match => {
+      "message" => '%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{DATA:request} HTTP/%{NUMBER:httpversion}" %{NUMBER:response:int} (?:-|%{NUMBER:bytes:int}) %{QS:referrer} %{QS:agent}'
+    }
+  }
+
+  date {
+    match => [ "timestamp", "dd/MMM/YYYY:HH:mm:ss Z" ]
+    locale => en
+  }
+
+  geoip {
+    source => "clientip"
+  }
+
+  useragent {
+    source => "agent"
+    target => "useragent"
+  }
+}
+
+output {
+  stdout { codec => dots }
+}
+"""
+
+
+def test_full_apache_cfg_end_to_end(spark, tmp_path):
+    """The reference's own benchmark config (tools/benchmark-cli/.../cases/
+    apache.cfg:1-29) compiles and runs end-to-end: input+filter+output."""
+    from pyspark.sql import Row
+    from logstash_spark.plans.lscl import compile_lscl_job
+    from logstash_spark.operators.enrich import cidr_blocks_df
+
+    lines = [
+        '83.149.9.216 - frank [17/May/2015:10:05:03 +0000] "GET /presentations/kibana HTTP/1.1" 200 171717 "-" "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0"',
+        '10.0.0.7 - - [17/May/2015:10:05:43 +0000] "GET /style2.css HTTP/1.1" 200 4877 "http://example.com/" "curl/8.4.0"',
+        'not an apache line at all',
+    ]
+    stdin_df = spark.createDataFrame([Row(message=m) for m in lines])
+    blocks = cidr_blocks_df(spark, [("83.149.0.0/16", "RU", "moscow"),
+                                    ("10.0.0.0/8", "US", "new-york")])
+    job = compile_lscl_job(APACHE_CFG, context={"geoip_blocks": blocks})
+    out = {r.message: r for r in job.run(spark, stdin_df=stdin_df).collect()}
+
+    r0 = out[lines[0]]
+    assert r0.clientip == "83.149.9.216"
+    assert r0.verb == "GET" and r0.response == 200 and r0.bytes == 171717
+    assert str(r0["@timestamp"]) == "2015-05-17 10:05:03"
+    assert r0.geo_country == "RU" and r0.geo_city == "moscow"
+    assert r0.useragent_name == "Firefox"
+    r1 = out[lines[1]]
+    assert r1.auth is None or r1.auth == "-"
+    assert r1.geo_country == "US"
+    bad = out[lines[2]]
+    assert "_grokparsefailure" in bad.tags
+    assert "_dateparsefailure" in bad.tags
+
+
+def test_lscl_job_generator_to_file(spark, tmp_path):
+    """generator input -> mutate -> file output (json_lines) round-trips."""
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    path = str(tmp_path / "out")
+    cfg = """
+    input { generator { message => "status=200 ok" count => 5 } }
+    filter { mutate { uppercase => ["message"] } }
+    output { file { path => "%s" codec => "json_lines" } }
+    """ % path
+    job = compile_lscl_job(cfg)
+    out = job.run(spark)
+    assert out.count() == 5
+    back = spark.read.json(path)
+    assert back.count() == 5
+    assert back.select("message").distinct().collect()[0][0] == "STATUS=200 OK"
+    seqs = sorted(r.sequence for r in back.select("sequence").collect())
+    assert seqs == [0, 1, 2, 3, 4]
+
+
+def test_lscl_output_conditional_routing(spark, tmp_path):
+    from logstash_spark.plans.lscl import compile_lscl_job
+    from pyspark.sql import Row
+
+    ok_path = str(tmp_path / "ok")
+    bad_path = str(tmp_path / "bad")
+    cfg = """
+    input { stdin { } }
+    filter { grok { match => { "message" => "status=%%{INT:status:int}" } } }
+    output {
+      if [status] >= 400 { file { path => "%s" codec => "json_lines" } }
+      else { file { path => "%s" codec => "json_lines" } }
+    }
+    """ % (bad_path, ok_path)
+    rows = [Row(message=f"status={s}") for s in (200, 500, 302, 404)]
+    job = compile_lscl_job(cfg)
+    job.run(spark, stdin_df=spark.createDataFrame(rows))
+    bad = spark.read.json(bad_path)
+    ok = spark.read.json(ok_path)
+    assert sorted(r.status for r in bad.collect()) == [404, 500]
+    assert sorted(r.status for r in ok.collect()) == [200, 302]
