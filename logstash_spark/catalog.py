@@ -832,6 +832,38 @@ FROM numbered GROUP BY conv_id, event_idx
 
 
 # ---------------------------------------------------------------------------
+# 24b. json_lines codec (2 lines per payload, one malformed for RAW rows)
+# ---------------------------------------------------------------------------
+
+def q_json_lines(spark, sf_dir):
+    from logstash_spark.operators.codecs import json_lines_decode
+
+    t = _t(spark, sf_dir)
+    line2 = F.when(F.col("text").startswith("RAW|"), F.lit("not json")) \
+             .otherwise(F.concat(F.lit('{"i":'),
+                                 (F.col("turn_idx") + 1000).cast("string"),
+                                 F.lit('}')))
+    payload = F.concat(F.lit('{"i":'), F.col("turn_idx").cast("string"),
+                       F.lit('}\n'), line2)
+    out = json_lines_decode(t.withColumn("payload", payload), "payload", "i long")
+    return out.select(
+        "conv_id", "turn_idx", "i",
+        F.array_contains("tags", "_jsonparsefailure").alias("json_failed"))
+
+
+ORACLE_JSON_LINES = oracle_with_transcripts("""
+SELECT conv_id, turn_idx, CAST(turn_idx AS BIGINT) AS i, FALSE AS json_failed
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx,
+       CASE WHEN text LIKE 'RAW|%' THEN NULL
+            ELSE CAST(turn_idx + 1000 AS BIGINT) END AS i,
+       text LIKE 'RAW|%' AS json_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
 # 25. DLQ routing (failure branch with reason column)
 # ---------------------------------------------------------------------------
 
@@ -1054,6 +1086,7 @@ CATALOG: dict[str, tuple] = {
     "useragent": (q_useragent, ORACLE_USERAGENT),
     "apache_pipeline": (q_apache_pipeline, ORACLE_APACHE),
     "multiline": (q_multiline, ORACLE_MULTILINE),
+    "json_lines": (q_json_lines, ORACLE_JSON_LINES),
     "dlq_route": (q_dlq_route, ORACLE_DLQ),
     "metrics_rates": (q_metrics_rates, ORACLE_METRICS_RATES),
     "prune_dedot_urldecode": (q_prune_dedot_urldecode, ORACLE_PRUNE),

@@ -165,3 +165,70 @@ def aggregate_stateful_stream(df: DataFrame, gap_sec: int = 1800,
             "append", GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming throttle (reference logstash-filter-throttle, meta:211)
+# ---------------------------------------------------------------------------
+
+THROTTLE_OUT_SCHEMA = ("conv_id string, turn_idx int, ts timestamp, "
+                       "throttled boolean")
+THROTTLE_STATE_SCHEMA = "n long"
+
+
+def make_throttle_fn(max_count: int):
+    """Per-(key, window) running event count; events past `max_count` are
+    flagged.  This is the reference's after_count semantics — an event is
+    throttled the moment the key exceeds the rate, earlier events pass —
+    which, unlike the batch join-back shape (windows.throttle tags the whole
+    over-limit window after the fact), is streaming-legal: every event is
+    emitted in the micro-batch it arrives in, state is one counter per
+    (key, window), cleared by an event-time timer at window end."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        chunks = list(pdf_iter)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+        import numpy as np
+
+        n0 = state.get[0] if state.exists else 0
+        running = n0 + np.arange(1, len(pdf) + 1)
+        win_end_us = int(key[1].value) // 1000 if hasattr(key[1], "value") else 0
+        state.update((n0 + len(pdf),))
+        # clear state once the watermark passes the window end
+        state.setTimeoutTimestamp(max(win_end_us // 1000,
+                                      state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({
+            "conv_id": pdf["conv_id"].values,
+            "turn_idx": pdf["turn_idx"].values,
+            "ts": pdf["ts"].values,
+            "throttled": running > max_count,
+        })
+
+    return fn
+
+
+def throttle_stream(df: DataFrame, period: str = "1 hour", max_count: int = 10,
+                    key_col: str = "conv_id",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming throttle: flag events beyond `max_count` per key per
+    tumbling `period` window.  Grouping key is (key, window_end) so the
+    shuffle partitioning matches the other conv_id-keyed stages."""
+    from pyspark.sql import functions as F
+
+    staged = (df.withWatermark("ts", watermark)
+              .withColumn("__we", F.window(F.col("ts"), period).getField("end")))
+    return (
+        staged.groupBy(key_col, "__we")
+        .applyInPandasWithState(
+            make_throttle_fn(max_count),
+            THROTTLE_OUT_SCHEMA, THROTTLE_STATE_SCHEMA,
+            "append", GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -374,3 +374,16 @@ def test_grok_nested_named_capture_numbering(spark):
     assert r.header == "Mar 16 00:01:25 evita cron[7]:"
     assert r.logsource == "evita" and r.program == "cron" and r.pid == "7"
     assert r.rest == "run"
+
+
+def test_json_lines_codec(spark):
+    from logstash_spark.operators.codecs import json_lines_decode
+
+    df = spark.createDataFrame([
+        Row(payload='{"a": 1}\n{"a": 2}\nbroken'),
+        Row(payload='{"a": 7}'),
+    ])
+    out = json_lines_decode(df, "payload", "a long")
+    rows = sorted(((r.a, "_jsonparsefailure" in (r.tags or []))
+                   for r in out.collect()), key=lambda x: (x[0] is None, x[0]))
+    assert rows == [(1, False), (2, False), (7, False), (None, True)]

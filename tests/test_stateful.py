@@ -117,3 +117,62 @@ def test_aggregate_stateful_matches_generated_markers(spark, tmp_path):
     assert len(convs) == len(set(convs))
     # accumulations are sane
     assert all(r["n_turns"] >= 1 and r["first_ts"] <= r["last_ts"] for r in eot)
+
+
+def test_aggregate_stateful_kill_resume_matches_single_run(spark, tmp_path):
+    """Kill/resume across the applyInPandasWithState checkpoint: run with
+    half the files, stop (state persisted mid-task), add the rest, resume
+    from the same checkpoint — the union of emissions must equal a fresh
+    single-shot run over all files (state schema + timers survive resume)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # conv A: first half BEFORE the kill, marker arrives AFTER resume
+    # conv B: entirely before the kill, times out after resume (watermark
+    #         pushed by conv C rows that only arrive post-resume)
+    # conv C: post-resume watermark driver + its own marker
+    batch1 = [
+        ("A", 0, "user", "hello", T0),
+        ("A", 1, "tool", "run", T0 + 10),
+        ("B", 0, "user", "start b", T0 + 5),
+        ("B", 1, "assistant", "working", T0 + 15),
+    ]
+    batch2 = [
+        ("A", 2, "assistant", "task=done bye", T0 + 30),
+        ("C", 0, "user", "go", T0 + 50_000),
+        ("C", 1, "assistant", "task=done c", T0 + 50_010),
+        ("C", 2, "user", "future", T0 + 90_000),
+    ]
+
+    def run(src_dir, ckpt, sink_dir):
+        stream = J.stream_transcripts(spark, src_dir, max_files_per_trigger=1)
+        out = aggregate_stateful_stream(stream, gap_sec=600, watermark="1 hour")
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", sink_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # phase 1: only batch1 visible; run to completion (kill point)
+    _write(src, batch1, "p0.parquet", 1_700_000_000)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    run(src, ckpt, sink)
+    # phase 2: new file appears; resume from the SAME checkpoint
+    _write(src, batch2, "p1.parquet", 1_700_000_001)
+    run(src, ckpt, sink)
+    got = {(r.conv_id, r.n_turns, r.n_tool_turns, r.emit_reason)
+           for r in spark.read.parquet(sink).collect()}
+
+    # single-shot reference: fresh checkpoint, all files at once
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    _write(src2, batch1, "p0.parquet", 1_700_000_000)
+    _write(src2, batch2, "p1.parquet", 1_700_000_001)
+    ref_sink = str(tmp_path / "ref_out")
+    run(src2, str(tmp_path / "ckpt2"), ref_sink)
+    exp = {(r.conv_id, r.n_turns, r.n_tool_turns, r.emit_reason)
+           for r in spark.read.parquet(ref_sink).collect()}
+
+    assert ("A", 3, 1, "end_of_task") in exp, "fixture sanity"
+    assert ("B", 2, 0, "timeout") in exp, "fixture sanity"
+    assert got == exp

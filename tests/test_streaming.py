@@ -320,3 +320,35 @@ def test_north_star_per_turn_text_equality(spark, tmp_path):
            .orderBy("conv_id", "turn_idx", "text").collect()]
     assert len(got) == len(exp) and got == exp, (
         f"per-turn mismatch: {len(got)} vs {len(exp)} rows")
+
+
+def test_throttle_stream_matches_batch(spark, stream_src, tmp_path):
+    """Streaming throttle (applyInPandasWithState running count per
+    (conv_id, window)) must flag exactly the events a batch cumulative
+    count flags: the (max+1)-th and later events of each hot window."""
+    from pyspark.sql import Window as W
+    from logstash_spark.streaming.stateful import throttle_stream
+
+    MAXC = 2
+    src = J.stream_transcripts(spark, stream_src)
+    out = str(tmp_path / "th")
+    q = (throttle_stream(src, period="1 hour", max_count=MAXC,
+                         watermark="2 hours")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "thc"))
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.conv_id, r.turn_idx, r.throttled)
+           for r in spark.read.parquet(out).collect()}
+
+    batch = spark.read.parquet(stream_src)
+    we = F.window(F.col("ts"), "1 hour").getField("end")
+    w = W.partitionBy("conv_id", we).orderBy("ts", "turn_idx")
+    exp = {(r.conv_id, r.turn_idx, r.throttled)
+           for r in batch.withColumn(
+               "throttled", F.row_number().over(w) > MAXC)
+           .select("conv_id", "turn_idx", "throttled").collect()}
+    assert got, "throttle stream emitted nothing"
+    assert got == exp
+    assert any(t for _, _, t in got), "fixture produced no throttled events"
