@@ -356,6 +356,43 @@ FROM transcripts
 
 
 # ---------------------------------------------------------------------------
+# 12b. lookup enrichment (jdbc_static analog: broadcast dim join with
+#      multi-column fetch, per-target defaults, and a miss tag)
+# ---------------------------------------------------------------------------
+
+TOOL_DIM = [  # (tool, category, risk) — the cached jdbc_static table analog
+    ("search", "retrieval", "low"), ("retrieval", "retrieval", "low"),
+    ("browser", "web", "medium"), ("python", "code", "high"),
+    ("bash", "code", "high"), ("sql", "data", "medium"),
+    ("calculator", "math", "low"),
+]
+
+
+def q_lookup_enrich(spark, sf_dir):
+    from logstash_spark.operators.lookup import lookup
+
+    dim = spark.createDataFrame(TOOL_DIM, "tool string, category string, risk string")
+    t = _t(spark, sf_dir)
+    out = lookup(t, "tool", dim, "tool",
+                 fetch={"category": "tool_category", "risk": "tool_risk"},
+                 defaults={"tool_category": "other"},
+                 tag_on_miss="_lookup_miss")
+    return out.select("conv_id", "turn_idx", "tool", "tool_category", "tool_risk",
+                      F.array_contains("tags", "_lookup_miss").alias("missed"))
+
+
+_lk_cat = " ".join(f"WHEN '{t}' THEN '{c}'" for t, c, _ in TOOL_DIM)
+_lk_risk = " ".join(f"WHEN '{t}' THEN '{r}'" for t, _, r in TOOL_DIM)
+ORACLE_LOOKUP = oracle_with_transcripts(f"""
+SELECT conv_id, turn_idx, tool,
+       COALESCE(CASE tool {_lk_cat} END, 'other') AS tool_category,
+       CASE tool {_lk_risk} END AS tool_risk,
+       (CASE tool {_lk_cat} END) IS NULL AS missed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
 # 13. cidr + syslog_pri (synthetic derivations over grokked fields)
 # ---------------------------------------------------------------------------
 
@@ -434,12 +471,14 @@ def q_conditional(spark, sf_dir):
 
     pipe = Pipeline([
         Stage(lambda df: grok(df, "text", GROK_TPL), "grok"),
+        # row_local branches -> the If compiles to ONE guarded select (no
+        # branch/union, grok's columns evaluated once)
         If(lambda df: (F.col("status") >= 400) & C.contains(F.col("text"), "msg="),
-           then=[Stage(lambda df: add_tag(df, "failure"))],
+           then=[Stage(lambda df: add_tag(df, "failure"), row_local=True)],
            otherwise=[
                If(lambda df: C.in_(F.col("role"), ["tool", "assistant"]),
-                  then=[Stage(lambda df: add_tag(df, "machine"))],
-                  otherwise=[Stage(lambda df: add_tag(df, "human"))]),
+                  then=[Stage(lambda df: add_tag(df, "machine"), row_local=True)],
+                  otherwise=[Stage(lambda df: add_tag(df, "human"), row_local=True)]),
            ]),
     ])
     out = pipe(_t(spark, sf_dir))
@@ -1073,6 +1112,7 @@ CATALOG: dict[str, tuple] = {
     "split": (q_split, ORACLE_SPLIT),
     "clone": (q_clone, ORACLE_CLONE),
     "translate": (q_translate, ORACLE_TRANSLATE),
+    "lookup_enrich": (q_lookup_enrich, ORACLE_LOOKUP),
     "cidr_syslog": (q_cidr_syslog, ORACLE_CIDR_SYSLOG),
     "truncate_sprintf": (q_truncate_sprintf, ORACLE_TRUNCATE_SPRINTF),
     "conditional": (q_conditional, ORACLE_CONDITIONAL),

@@ -88,3 +88,79 @@ def add_field(df: DataFrame, name: str, value: Column, when: Column | None = Non
 
 def remove_field(df: DataFrame, *names: str) -> DataFrame:
     return df.drop(*names)
+
+
+# -- sprintf'd decorators (decorators.rb:28-43: key AND value templated) -----
+
+DYNAMIC_FIELDS_COL = "fields"
+
+
+def add_tag_sprintf(df: DataFrame, template: str,
+                    when: Column | None = None) -> DataFrame:
+    """add_tag with a %{...}-templated tag name, resolved per event."""
+    from logstash_spark.functions.sprintf import compile_sprintf
+
+    df = ensure_tags(df)
+    return df.withColumn(
+        TAGS_COL, add_tag_expr(compile_sprintf(template, df.columns), when))
+
+
+def add_field_sprintf(df: DataFrame, name_template: str, value_template: str,
+                      when: Column | None = None) -> DataFrame:
+    """add_field with sprintf'd key AND value (decorators.rb:28-43).
+
+    A static key (no %{}) sets/overwrites a top-level column.  A dynamic
+    key resolves per row, which a relational schema cannot express as a
+    column name — those land in the ``fields`` map column (created on
+    demand), the engine's declared model for dynamic fields."""
+    from logstash_spark.functions.sprintf import compile_sprintf
+
+    val = compile_sprintf(value_template, df.columns)
+    if "%{" not in name_template:
+        return add_field(df, name_template, val, when)
+    key = compile_sprintf(name_template, df.columns)
+    cur = (F.col(DYNAMIC_FIELDS_COL) if DYNAMIC_FIELDS_COL in df.columns
+           else F.lit(None))
+    empty = F.expr("cast(map() as map<string,string>)")
+    merged = F.map_concat(F.coalesce(cur, empty), F.create_map(key, val))
+    out_val = merged if when is None else \
+        F.when(when, merged).otherwise(F.coalesce(cur, empty))
+    return df.withColumn(DYNAMIC_FIELDS_COL, out_val)
+
+
+# -- event-model edge semantics (conformance: spec/logstash/event_spec.rb) ---
+
+METADATA_COL = "@metadata"
+
+
+def normalize_tags(df: DataFrame) -> DataFrame:
+    """Event.java:232-249: a top-level ``tags`` holding an illegal value is
+    stashed in ``_tags`` and the event tagged ``_tagsparsefailure``; a bare
+    string wraps to a singleton list.  With a typed schema the dispatch is
+    compile-time (on the column's dataType), so the hot path pays nothing.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    if TAGS_COL not in df.columns:
+        return ensure_tags(df)
+    dt = df.schema[TAGS_COL].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
+        return df
+    if isinstance(dt, StringType):
+        return df.withColumn(
+            TAGS_COL,
+            F.when(F.col(TAGS_COL).isNotNull(), F.array(F.col(TAGS_COL)))
+            .otherwise(F.array().cast("array<string>")))
+    # illegal type (numbers, arrays of non-strings, structs, ...)
+    stash = df.schema[TAGS_COL].dataType
+    as_str = (F.transform(F.col(TAGS_COL), lambda x: x.cast("string"))
+              if isinstance(stash, ArrayType)
+              else F.array(F.col(TAGS_COL).cast("string")))
+    return (df.withColumn("_tags", as_str)
+              .withColumn(TAGS_COL, F.array(F.lit("_tagsparsefailure"))))
+
+
+def strip_metadata(df: DataFrame) -> DataFrame:
+    """``@metadata`` is readable by sprintf/conditionals but is never
+    serialized by outputs (Event.java:106-111) — sinks call this."""
+    return df.drop(METADATA_COL) if METADATA_COL in df.columns else df

@@ -33,22 +33,11 @@ TIMESTAMP_FIELD = "ts"  # our @timestamp analog on the transcript schema
 def _field_column(df_columns: list[str], name: str) -> Column | None:
     """Resolve a Logstash field reference to a Column if it exists.
 
-    Supports bare names and `[a][b]` paths (FieldReference.java:76-86);
-    nested paths map to struct access `a.b`.
-    """
-    if name.startswith("["):
-        parts = re.findall(r"\[([^\]]+)\]", name)
-        if not parts:
-            return None
-        if parts[0] not in df_columns:
-            return None
-        col = F.col(parts[0])
-        for p in parts[1:]:
-            col = col.getField(p) if not p.lstrip("-").isdigit() else col.getItem(int(p))
-        return col
-    if name in df_columns:
-        return F.col(name)
-    return None
+    Shared resolver (functions/fieldref.py): bare names, `[a][b]` paths,
+    list indexing incl. negative indices (Accessors.java:152-187)."""
+    from logstash_spark.functions.fieldref import field_col
+
+    return field_col(df_columns, name)
 
 
 def _render_value(col: Column) -> Column:

@@ -1,0 +1,77 @@
+"""Lookup enrichment: the jdbc_static / general dim-join filter family.
+
+Reference: the lookup-enrichment docs treat "enrich events from a local or
+remote store" as a first-class filter family
+(docs/reference/lookup-enrichment.md — jdbc_static, jdbc_streaming,
+elasticsearch, memcached, translate; registry rakelib/plugins-metadata.json:
+127,156,160).  jdbc_static loads the remote table into a local cache at
+startup and refreshes it on `loader_schedule`; every event then does a
+local keyed lookup.
+
+Spark design: the cached local copy IS a DataFrame; the per-event lookup is
+a broadcast LEFT equi-join — each executor holds the dim once (the exact
+analog of jdbc_static's per-process cache) and the event stream never
+shuffles.  Per-event point queries against the remote store
+(jdbc_streaming-style) are an anti-pattern at 100 TB and deliberately not
+offered.
+
+Refresh semantics in streaming: a stream-static join re-reads the static
+side's DATA each micro-batch but pins the file listing at plan time.  For a
+live-refreshing dim (loader_schedule analog) re-resolve the dim inside
+foreachBatch — `sink.handle` style — or restart the query on dim change;
+both are cluster-standard.  For format-native refresh use a table format
+with snapshot isolation as the dim source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup(
+    df: DataFrame,
+    source: str,
+    dim: DataFrame,
+    dim_key: str,
+    fetch: dict[str, str] | list[str],
+    defaults: dict[str, object] | None = None,
+    tag_on_miss: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Enrich events with columns fetched from a dimension table.
+
+    * ``source`` — event column matched against ``dim_key`` in ``dim``.
+    * ``fetch`` — dim columns to attach; a dict maps dim column -> target
+      event column (jdbc_static's `local_lookups.parameters` analog).
+    * ``defaults`` — per-target value used when the key misses
+      (translate-fallback analog).
+    * ``tag_on_miss`` — tag events whose key found no dim row.
+
+    One broadcast hash join; no shuffle on the event side.  If the same
+    target name already exists on the event it is overwritten (reference
+    lookups write their `target` unconditionally).
+    """
+    if isinstance(fetch, list):
+        fetch = {c: c for c in fetch}
+    defaults = defaults or {}
+
+    proj = [F.col(dim_key).alias("__lk_key")]
+    for dim_col, target in fetch.items():
+        proj.append(F.col(dim_col).alias(f"__lk_{target}"))
+    d = dim.select(*proj).dropDuplicates(["__lk_key"])
+    if broadcast:
+        d = F.broadcast(d)
+
+    out = df.join(d, df[source] == d["__lk_key"], "left")
+    hit = F.col("__lk_key").isNotNull()
+    for _, target in fetch.items():
+        val: Column = F.col(f"__lk_{target}")
+        if target in defaults:
+            val = F.coalesce(val, F.lit(defaults[target]))
+        out = out.withColumn(target, val)
+    if tag_on_miss:
+        from logstash_spark.functions.decorators import add_tag
+
+        out = add_tag(out, tag_on_miss, when=~hit)
+    return out.drop("__lk_key", *[f"__lk_{t}" for t in fetch.values()])

@@ -296,10 +296,11 @@ class Parser:
 # ---------------------------------------------------------------------------
 
 def field_col(parts: list[str]) -> Column:
-    col = F.col(parts[0])
-    for p in parts[1:]:
-        col = col.getItem(p)   # nested struct/map path ([a][b] accessor)
-    return col
+    """[a][b][0] path -> Column via the shared fieldref resolver (list
+    indexing + negative indices, Accessors.java:152-187)."""
+    from logstash_spark.functions.fieldref import field_col as _fc
+
+    return _fc(None, "".join(f"[{p}]" for p in parts))
 
 
 def compile_expr(ast) -> Column:
@@ -525,8 +526,14 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             f"LSCL: unsupported filter plugin {name!r} (supported: see "
             f"logstash_spark/plans/lscl.py docstring)")
 
+    # cardinality/schema-preserving plugins are eligible for the fused
+    # (single-select) If path; drop/clone/split change row counts, and
+    # prune/de_dot rewrite the whole schema (they'd eat the fused path's
+    # snapshot columns)
+    row_local = name not in ("drop", "clone", "split", "prune", "de_dot")
+
     if not (add_tags or remove_tags or add_fields or remove_fields):
-        return Stage(op, name)
+        return Stage(op, name, row_local=row_local)
 
     def op_with_decorators(df: DataFrame) -> DataFrame:
         from logstash_spark.functions.decorators import (add_field, add_tag,
@@ -545,7 +552,7 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             out = remove_field(out, *remove_fields)
         return out
 
-    return Stage(op_with_decorators, name)
+    return Stage(op_with_decorators, name, row_local=row_local)
 
 
 def compile_items(nodes: list, context: dict | None = None) -> list:
@@ -698,6 +705,9 @@ class LsclJob:
         if n.name in ("stdout", "null"):
             return  # row-printing/discard sinks: no plan effect in batch
         if n.name == "file":
+            from logstash_spark.functions.decorators import strip_metadata
+
+            df = strip_metadata(df)  # @metadata excluded from outputs
             codec = a.get("codec", "json_lines")
             path = a["path"]
             writer = df.write.mode("overwrite")

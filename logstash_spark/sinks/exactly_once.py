@@ -69,7 +69,9 @@ class ExactlyOnceParquetSink:
         """foreachBatch body: idempotent per epoch_id."""
         if epoch_id in self.committed_ids():
             return  # replayed epoch: already durable, skip (exactly-once)
-        out = df
+        from logstash_spark.functions.decorators import strip_metadata
+
+        out = strip_metadata(df)  # @metadata never serializes (Event.java:106-111)
         if self.merge_keys:
             out = out.dropDuplicates(self.merge_keys)
         target = os.path.join(self.path, f"batch_id={epoch_id}")

@@ -387,3 +387,88 @@ def test_json_lines_codec(spark):
     rows = sorted(((r.a, "_jsonparsefailure" in (r.tags or []))
                    for r in out.collect()), key=lambda x: (x[0] is None, x[0]))
     assert rows == [(1, False), (2, False), (7, False), (None, True)]
+
+
+def test_fieldref_paths_and_indices(spark):
+    """event_spec.rb-shaped goldens for the shared field-reference resolver:
+    nested struct walk, list indexing, negative index (Accessors.java:152-187)."""
+    from logstash_spark.functions.fieldref import field_col, parse_field_ref
+
+    assert parse_field_ref("[a][b][0]") == ["a", "b", "0"]
+    assert parse_field_ref("plain") == ["plain"]
+
+    df = spark.createDataFrame(
+        [Row(geo={"country": "US", "city": "nyc"},
+             arr=["x", "y", "z"],
+             deep=Row(inner=["p", "q"]))])
+    got = df.select(
+        field_col(df.columns, "[geo][country]").alias("c"),
+        field_col(df.columns, "[arr][0]").alias("a0"),
+        field_col(df.columns, "[arr][2]").alias("a2"),
+        field_col(df.columns, "[arr][-1]").alias("alast"),
+        field_col(df.columns, "[deep][inner][-2]").alias("d"),
+    ).collect()[0]
+    assert (got.c, got.a0, got.a2, got.alast, got.d) == ("US", "x", "z", "z", "p")
+    assert field_col(df.columns, "[nope][x]") is None
+
+
+def test_decorators_sprintf_key_and_value(spark):
+    """decorators.rb:28-43: add_field/add_tag sprintf BOTH key and value;
+    dynamic keys land in the `fields` map, static keys become columns."""
+    from logstash_spark.functions.decorators import (add_field_sprintf,
+                                                     add_tag_sprintf)
+
+    df = spark.createDataFrame([Row(role="user", turn_idx=3)])
+    out = add_field_sprintf(df, "seen_%{role}", "turn-%{turn_idx}")
+    r = out.collect()[0]
+    assert r.fields == {"seen_user": "turn-3"}
+    out2 = add_field_sprintf(out, "static_col", "%{role}!")
+    assert out2.collect()[0].static_col == "user!"
+    out3 = add_tag_sprintf(out2, "from_%{role}")
+    assert "from_user" in out3.collect()[0].tags
+
+
+def test_tags_normalization_and_metadata_contract(spark):
+    """Event.java:232-249 (_tags + _tagsparsefailure on illegal tags value),
+    Event.java:106-111 (@metadata readable but never serialized)."""
+    from logstash_spark.functions.decorators import normalize_tags, strip_metadata
+    from logstash_spark.functions.sprintf import compile_sprintf
+
+    # bare string tags -> singleton list
+    s = spark.createDataFrame([Row(id=1, tags="solo")])
+    assert normalize_tags(s).collect()[0].tags == ["solo"]
+    # illegal numeric tags -> stashed in _tags + _tagsparsefailure
+    n = spark.createDataFrame([Row(id=1, tags=123)])
+    r = normalize_tags(n).collect()[0]
+    assert r.tags == ["_tagsparsefailure"] and r._tags == ["123"]
+    # legal array<string> passes through untouched
+    ok = spark.createDataFrame([Row(id=1, tags=["a"])])
+    assert normalize_tags(ok).collect()[0].tags == ["a"]
+
+    # @metadata: sprintf can read it; sink projection drops it
+    m = spark.createDataFrame([Row(id=1, **{"@metadata": {"k": "v"}})])
+    rendered = m.select(compile_sprintf("meta=%{[@metadata][k]}", m.columns,
+                                        ts_field="id").alias("x")).collect()[0].x
+    assert rendered == "meta=v"
+    assert "@metadata" not in strip_metadata(m).columns
+
+
+def test_lookup_enrichment_operator(spark):
+    """jdbc_static analog: broadcast dim join, multi-col fetch, defaults,
+    miss tag; plan must be a broadcast hash join (no stream-side shuffle)."""
+    from logstash_spark.operators.lookup import lookup
+
+    dim = spark.createDataFrame(
+        [("python", "code", "high"), ("search", "retrieval", "low")],
+        "tool string, category string, risk string")
+    ev = spark.createDataFrame(
+        [Row(id=1, tool="python"), Row(id=2, tool="unknown"), Row(id=3, tool=None)])
+    out = lookup(ev, "tool", dim, "tool",
+                 fetch={"category": "cat", "risk": "risk"},
+                 defaults={"cat": "other"}, tag_on_miss="_miss")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r.id: (r.cat, r.risk, "_miss" in (r.tags or [])) for r in out.collect()}
+    assert got[1] == ("code", "high", False)
+    assert got[2] == ("other", None, True)
+    assert got[3] == ("other", None, True)
