@@ -45,3 +45,22 @@ def dlq_write(dlq: DataFrame, path: str) -> None:
 def dlq_replay(spark, path: str) -> DataFrame:
     """dead_letter_queue-input analog: read entries back for reprocessing."""
     return spark.read.parquet(path)
+
+
+def dlq_replay_stream(spark, path: str,
+                      commit_offset_ts=None,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming dead_letter_queue input (plugins-metadata.json:257): tail
+    the DLQ table as a file stream so repaired pipelines reprocess failures
+    continuously.  `commit_offset_ts` mirrors the reference input's
+    `commit_offsets`/sincedb start position: only entries dead-lettered
+    after that timestamp replay (a pushed-down dlq_ts filter — partition/
+    file pruning applies on a real table layout)."""
+    schema = spark.read.parquet(path).schema  # stream sources need a schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = reader.parquet(path)
+    if commit_offset_ts is not None:
+        out = out.filter(F.col("dlq_ts") > F.lit(commit_offset_ts))
+    return out

@@ -536,18 +536,21 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
         return Stage(op, name, row_local=row_local)
 
     def op_with_decorators(df: DataFrame) -> DataFrame:
-        from logstash_spark.functions.decorators import (add_field, add_tag,
+        from logstash_spark.functions.decorators import (add_field_sprintf,
+                                                         add_tag_sprintf,
                                                          remove_field,
                                                          remove_tag)
         out = op(df)
         ftag = _FAILURE_TAG.get(name)
         success = (~F.array_contains("tags", ftag)) if ftag and "tags" in out.columns else None
+        # add_tag/add_field sprintf both key and value per event
+        # (decorators.rb:28-43)
         for t in (add_tags if isinstance(add_tags, list) else [add_tags]):
-            out = add_tag(out, t, when=success)
+            out = add_tag_sprintf(out, t, when=success)
         for t in (remove_tags if isinstance(remove_tags, list) else [remove_tags]):
             out = remove_tag(out, t, when=success)
         for fname, val in (add_fields or {}).items():
-            out = add_field(out, fname, F.lit(val), when=success)
+            out = add_field_sprintf(out, fname, str(val), when=success)
         if remove_fields:
             out = remove_field(out, *remove_fields)
         return out

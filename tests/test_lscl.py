@@ -287,3 +287,26 @@ def test_lscl_output_conditional_routing(spark, tmp_path):
     ok = spark.read.json(ok_path)
     assert sorted(r.status for r in bad.collect()) == [404, 500]
     assert sorted(r.status for r in ok.collect()) == [200, 302]
+
+
+def test_lscl_decorators_sprintf(spark):
+    """LSCL add_tag/add_field template key and value per event
+    (decorators.rb:28-43)."""
+    from pyspark.sql import Row
+    from logstash_spark.plans.lscl import compile_lscl
+
+    cfg = '''
+    filter {
+      mutate {
+        uppercase => ["role"]
+        add_tag => ["seen_%{role}"]
+        add_field => { "mark_%{role}" => "turn=%{turn_idx}" }
+      }
+    }
+    '''
+    df = spark.createDataFrame([Row(role="user", turn_idx=1),
+                                Row(role="tool", turn_idx=2)])
+    out = {r.turn_idx: r for r in compile_lscl(cfg)(df).collect()}
+    assert "seen_USER" in out[1].tags      # decorators run after the mutate
+    assert out[1].fields == {"mark_USER": "turn=1"}
+    assert out[2].fields == {"mark_TOOL": "turn=2"}

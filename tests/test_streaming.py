@@ -352,3 +352,51 @@ def test_throttle_stream_matches_batch(spark, stream_src, tmp_path):
     assert got, "throttle stream emitted nothing"
     assert got == exp
     assert any(t for _, _, t in got), "fixture produced no throttled events"
+
+
+def test_dlq_replay_stream(spark, tmp_path):
+    """DLQ write -> streaming replay with a commit-offset start position."""
+    import datetime
+    from logstash_spark.operators.dlq import dlq_split, dlq_write, dlq_replay_stream
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(id=i, ok=i % 2 == 0) for i in range(10)])
+    _good, bad = dlq_split(df, [(~F.col("ok"), "odd_row")])
+    path = str(tmp_path / "dlq")
+    dlq_write(bad, path)
+
+    replay = dlq_replay_stream(spark, path)
+    assert replay.isStreaming
+    out = str(tmp_path / "replayed")
+    q = (replay.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert {r.dlq_reason for r in got.collect()} == {"odd_row"}
+    # commit-offset in the future -> nothing replays
+    replay2 = dlq_replay_stream(
+        spark, path, commit_offset_ts=datetime.datetime(2100, 1, 1))
+    q2 = (replay2.writeStream.outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "c2"))
+          .format("parquet").option("path", str(tmp_path / "r2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "r2")).count() == 0
+
+
+def test_kafka_wiring_gated(spark):
+    """Without the kafka jar the connector raises the exact submit hint
+    (same honest gating as the avro codec); with it, wiring is exercised
+    in deploy environments only."""
+    from logstash_spark.sources.connectors import kafka_available, kafka_source
+
+    if kafka_available(spark):
+        src = kafka_source(spark, "localhost:9092", "t", codec="line")
+        assert src.isStreaming
+    else:
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_source(spark, "localhost:9092", "t", codec="line")
