@@ -42,6 +42,36 @@ def _is_index(part: str) -> bool:
     return part.lstrip("-").isdigit()
 
 
+def field_dtype(schema, name: str):
+    """Resolve a field reference's DataType against a DataFrame schema.
+
+    Returns None when any path part can't be statically resolved.  Used for
+    the reference's compile-time type dispatch (EventCondition.java builds
+    `in` as membership vs substring based on operand type)."""
+    from pyspark.sql import types as T
+
+    parts = parse_field_ref(name)
+    dtype = None
+    current = schema
+    for i, p in enumerate(parts):
+        if i == 0:
+            if not isinstance(current, T.StructType) or p not in current.names:
+                return None
+            dtype = current[p].dataType
+        elif _is_index(p):
+            if isinstance(dtype, T.ArrayType):
+                dtype = dtype.elementType
+            else:
+                return None
+        elif isinstance(dtype, T.StructType) and p in dtype.names:
+            dtype = dtype[p].dataType
+        elif isinstance(dtype, T.MapType):
+            dtype = dtype.valueType
+        else:
+            return None
+    return dtype
+
+
 def field_col(df_columns: list[str] | None, name: str) -> Column | None:
     """Resolve a field reference against a DataFrame's columns.
 

@@ -303,19 +303,19 @@ def field_col(parts: list[str]) -> Column:
     return _fc(None, "".join(f"[{p}]" for p in parts))
 
 
-def compile_expr(ast) -> Column:
+def compile_expr(ast, df=None) -> Column:
     kind = ast[0]
     if kind == "field":
         return C.truthy(field_col(ast[1]))
     if kind == "lit":
         return F.lit(ast[1])
     if kind == "not":
-        return ~compile_expr(ast[1])
+        return ~compile_expr(ast[1], df)
     if kind == "bin":
         _, op, l, r = ast
         if op in ("and", "or", "nand", "xor"):
-            lc = _as_bool(l)
-            rc = _as_bool(r)
+            lc = _as_bool(l, df)
+            rc = _as_bool(r, df)
             return {"and": lc & rc, "or": lc | rc,
                     "nand": C.nand(lc, rc), "xor": C.xor(lc, rc)}[op]
         lv = _operand(l)
@@ -330,15 +330,15 @@ def compile_expr(ast) -> Column:
                     "<": lv < rv, "<=": lv <= rv,
                     ">": lv > rv, ">=": lv >= rv}[op]
         if op == "in":
-            return _compile_in(l, r)
+            return _compile_in(l, r, df)
         if op == "not in":
-            return ~_compile_in(l, r)
+            return ~_compile_in(l, r, df)
     raise SyntaxError(f"LSCL: cannot compile expression node {ast!r}")
 
 
-def _as_bool(ast) -> Column:
+def _as_bool(ast, df=None) -> Column:
     """Sub-expressions of boolean ops: bare fields use truthiness."""
-    return compile_expr(ast)
+    return compile_expr(ast, df)
 
 
 def _operand(ast) -> Column:
@@ -351,13 +351,28 @@ def _operand(ast) -> Column:
     raise SyntaxError(f"LSCL: bad operand {ast!r}")
 
 
-def _compile_in(l, r) -> Column:
+def _compile_in(l, r, df=None) -> Column:
     """Polymorphic `in` (EventCondition.java:293-357): rhs list ->
-    membership; rhs string/field -> substring containment (the reference's
-    compile-time dispatch, done here on AST shape)."""
+    membership; rhs field -> dispatch on the field's compile-time schema
+    type (array -> membership, string -> substring, other scalar ->
+    equality — the reference dispatches the same way at condition-compile
+    time on operand class); rhs string literal -> substring."""
     lv = _operand(l)
     if r[0] == "list":
         return C.in_(lv, r[1])
+    if r[0] == "field" and df is not None:
+        from pyspark.sql import types as T
+
+        from logstash_spark.functions.fieldref import field_dtype
+
+        ref = "".join(f"[{p}]" for p in r[1])
+        dtype = field_dtype(df.schema, ref)
+        rv = _operand(r)
+        if isinstance(dtype, T.ArrayType):
+            return C.in_array(lv, rv)
+        if dtype is not None and not isinstance(dtype, T.StringType):
+            return C.eq(rv, lv)
+        return C.contains(rv, lv)
     return C.contains(_operand(r), lv)
 
 
@@ -576,7 +591,7 @@ def _compile_if(node: IfNode, context: dict | None = None) -> If:
         otherwise = (build(rest, else_nodes) if rest
                      else (compile_items(else_nodes, context) if else_nodes else []))
         cond = expr  # close over AST; compile per-DataFrame call
-        return If(lambda df, _c=cond: compile_expr(_c),
+        return If(lambda df, _c=cond: compile_expr(_c, df),
                   then=compile_items(body, context),
                   otherwise=otherwise if isinstance(otherwise, list) else [otherwise])
     return build(node.branches, node.else_nodes)
@@ -697,7 +712,7 @@ class LsclJob:
             # conditional routing in the output section: filter per branch
             remaining = df
             for expr, body in n.branches:
-                pred = compile_expr(expr)
+                pred = compile_expr(expr, df)
                 for inner in body:
                     self._one_output(remaining.filter(pred), inner)
                 remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))

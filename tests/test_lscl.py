@@ -310,3 +310,31 @@ def test_lscl_decorators_sprintf(spark):
     assert "seen_USER" in out[1].tags      # decorators run after the mutate
     assert out[1].fields == {"mark_USER": "turn=1"}
     assert out[2].fields == {"mark_TOOL": "turn=2"}
+
+
+def test_in_type_dispatch(spark):
+    """`in` dispatches on the rhs field's schema type at compile time
+    (EventCondition.java:293-357 builds membership vs substring vs equality
+    from the operand class): array -> membership, string -> substring,
+    other scalar -> equality."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(id="a", tags0=["x", "y"], text="prefix-needle-suffix", n=7),
+        Row(id="b", tags0=["z"], text="nothing here", n=8),
+    ])
+
+    def run(expr):
+        cfg = ('filter { if %s { mutate { add_tag => ["hit"] } } }' % expr)
+        out = compile_lscl(cfg)(df)
+        return {r.id for r in out.collect() if "hit" in (r.tags or [])}
+
+    # array rhs: membership, NOT substring ("x" is a substring of nothing)
+    assert run('"x" in [tags0]') == {"a"}
+    assert run('"q" not in [tags0]') == {"a", "b"}
+    # string rhs: substring containment
+    assert run('"needle" in [text]') == {"a"}
+    # non-string scalar rhs: equality
+    assert run('7 in [n]') == {"a"}
+    # rhs literal list: membership (unchanged)
+    assert run('[id] in ["b", "c"]') == {"b"}
