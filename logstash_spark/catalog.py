@@ -1096,6 +1096,103 @@ ORACLE_DEDUP_EMBEDDING_LSH = _oracle_dedup_lsh()
 
 
 # ---------------------------------------------------------------------------
+# 46. yaml filter (logstash-filter-yaml, meta:240) — full-YAML path
+#     (Arrow-batched pandas UDF), round-trip oracle against the base columns
+# ---------------------------------------------------------------------------
+
+def q_yaml(spark, sf_dir):
+    from logstash_spark.operators.parsers import yaml_filter
+
+    t = _t(spark, sf_dir)
+    # deterministic YAML doc per turn; text sanitized so the double-quoted
+    # scalar needs no escaping on either side
+    clean = F.translate(F.col("text"), '"\\', "")
+    doc = F.concat(F.lit("role: "), F.col("role"),
+                   F.lit("\nidx: "), F.col("turn_idx").cast("string"),
+                   F.lit('\nmsg: "'), clean, F.lit('"'))
+    staged = t.withColumn("yraw", doc)
+    out = yaml_filter(staged, "yraw", "role string, idx long, msg string",
+                      target="y")
+    return out.select("conv_id", "turn_idx",
+                      F.col("y.role").alias("y_role"),
+                      F.col("y.idx").alias("y_idx"),
+                      F.col("y.msg").alias("y_msg"),
+                      F.array_contains("tags", "_yamlparsefailure").alias("y_failed"))
+
+
+ORACLE_YAML = oracle_with_transcripts(r"""
+SELECT conv_id, turn_idx,
+       role AS y_role,
+       CAST(turn_idx AS BIGINT) AS y_idx,
+       replace(replace(text, '"', ''), '\', '') AS y_msg,
+       text IS NULL AS y_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 47. cef codec decode
+# ---------------------------------------------------------------------------
+
+def q_cef(spark, sf_dir):
+    from logstash_spark.operators.codecs import cef_decode
+
+    t = _t(spark, sf_dir)
+    line = F.concat(
+        F.lit("CEF:0|logstash_spark|engine|1.0|"),
+        F.col("turn_idx").cast("string"), F.lit("|turn event|"),
+        (F.col("turn_idx") % 10).cast("string"),
+        F.lit("|spt="), F.col("turn_idx").cast("string"),
+        F.lit(" app="), F.col("role"))
+    out = cef_decode(t.withColumn("raw", line), "raw")
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("cef_signature_id").alias("sig"),
+        F.col("cef_severity").alias("sev"),
+        F.element_at("cef_ext", "spt").cast("long").alias("spt"),
+        F.element_at("cef_ext", "app").alias("app"),
+        F.array_contains("tags", "_cefparsefailure").alias("cef_failed"))
+
+
+ORACLE_CEF = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       CAST(turn_idx AS VARCHAR) AS sig,
+       CAST(turn_idx % 10 AS VARCHAR) AS sev,
+       CAST(turn_idx AS BIGINT) AS spt,
+       role AS app,
+       false AS cef_failed
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 48. graphite codec decode
+# ---------------------------------------------------------------------------
+
+def q_graphite(spark, sf_dir):
+    from logstash_spark.operators.codecs import graphite_decode
+
+    t = _t(spark, sf_dir)
+    line = F.concat_ws(" ",
+                       F.concat(F.lit("turns."), F.col("role"), F.lit(".count")),
+                       F.col("turn_idx").cast("string"),
+                       F.unix_timestamp("ts").cast("string"))
+    out = graphite_decode(t.withColumn("raw", line), "raw")
+    return out.select("conv_id", "turn_idx", "metric",
+                      F.col("metric_value").alias("mval"),
+                      F.unix_micros("metric_ts").alias("mts_us"))
+
+
+ORACLE_GRAPHITE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       'turns.' || role || '.count' AS metric,
+       CAST(turn_idx AS DOUBLE) AS mval,
+       (epoch_us(ts) // 1000000) * 1000000 AS mts_us
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1127,6 +1224,9 @@ CATALOG: dict[str, tuple] = {
     "apache_pipeline": (q_apache_pipeline, ORACLE_APACHE),
     "multiline": (q_multiline, ORACLE_MULTILINE),
     "json_lines": (q_json_lines, ORACLE_JSON_LINES),
+    "yaml": (q_yaml, ORACLE_YAML),
+    "cef": (q_cef, ORACLE_CEF),
+    "graphite": (q_graphite, ORACLE_GRAPHITE),
     "dlq_route": (q_dlq_route, ORACLE_DLQ),
     "metrics_rates": (q_metrics_rates, ORACLE_METRICS_RATES),
     "prune_dedot_urldecode": (q_prune_dedot_urldecode, ORACLE_PRUNE),

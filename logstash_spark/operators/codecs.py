@@ -1,4 +1,4 @@
-"""Codec analogs: line / json_lines / multiline.
+"""Codec analogs: line / json_lines / multiline / cef / graphite / es_bulk.
 
 Reference semantics:
 * line/plain — delimiter-split decode, default "\\n", UTF-8
@@ -71,6 +71,88 @@ def avro_decode(df: DataFrame, source: str, json_schema: str,
         raise NotImplementedError(
             "avro codec needs the spark-avro package "
             "(--packages org.apache.spark:spark-avro_2.13)") from exc
+
+
+def cef_decode(df: DataFrame, source: str, target_prefix: str = "cef_") -> DataFrame:
+    """CEF codec decode (plugin registry rakelib/plugins-metadata.json:
+    logstash-codec-cef): ``CEF:Version|Vendor|Product|DeviceVersion|
+    SignatureID|Name|Severity|ext`` where ext is ``key=value`` pairs whose
+    values may contain spaces (a value runs until the next ``key=``).
+
+    Pure JVM: one `split` for the 7 header fields + `str_to_map` with a
+    lookahead pair delimiter for the extension block.  Escaped-pipe headers
+    (``\\|``) are out of scope for this decode (reference handles them;
+    rare in practice — documented divergence).  Non-CEF rows tag
+    ``_cefparsefailure``.
+    """
+    from logstash_spark.functions.decorators import add_tag
+
+    is_cef = F.col(source).rlike(r"^CEF:\d+\|")
+    body = F.regexp_replace(F.col(source), r"^CEF:", "")
+    parts = F.split(body, r"\|", 8)
+    headers = ["version", "vendor", "product", "device_version",
+               "signature_id", "name", "severity"]
+    for i, h in enumerate(headers):
+        df = df.withColumn(f"{target_prefix}{h}",
+                           F.when(is_cef, F.get(parts, i)))
+    ext = F.when(is_cef & (F.size(parts) > 7), F.get(parts, 7))
+    df = df.withColumn(
+        f"{target_prefix}ext",
+        F.str_to_map(ext, F.lit(r"\s+(?=[\w.]+=)"), F.lit("=")))
+    return add_tag(df, "_cefparsefailure", when=~is_cef)
+
+
+def graphite_decode(df: DataFrame, source: str) -> DataFrame:
+    """Graphite plaintext protocol decode (plugins-metadata.json:
+    logstash-codec-graphite): ``metric.path value epoch_seconds`` per
+    line -> (metric, metric_value, metric_ts).  Malformed rows tag
+    ``_graphiteparsefailure``.  Pure Columns."""
+    from logstash_spark.functions.decorators import add_tag
+
+    p = F.split(F.trim(F.col(source)), r"\s+")
+    val = F.get(p, 1).try_cast("double")
+    ts = F.get(p, 2).try_cast("long")
+    ok = (F.size(p) == 3) & val.isNotNull() & ts.isNotNull()
+    df = (df.withColumn("metric", F.when(ok, F.get(p, 0)))
+            .withColumn("metric_value", F.when(ok, val))
+            .withColumn("metric_ts", F.when(ok, F.timestamp_seconds(ts))))
+    return add_tag(df, "_graphiteparsefailure", when=~ok)
+
+
+def graphite_encode(df: DataFrame, metric: str, value: str, ts: str,
+                    target: str = "line") -> DataFrame:
+    """Graphite plaintext encode: the inverse of :func:`graphite_decode`."""
+    return df.withColumn(
+        target,
+        F.concat_ws(" ", F.col(metric),
+                    F.col(value).cast("string"),
+                    F.unix_timestamp(F.col(ts)).cast("string")))
+
+
+def es_bulk_encode(df: DataFrame, index: str, id_col: str,
+                   doc_cols: list[str], target: str = "bulk") -> DataFrame:
+    """es_bulk codec encode (plugins-metadata.json: logstash-codec-es_bulk;
+    the wire shape of the elasticsearch output's _bulk API): per event an
+    action line ``{"index":{"_index":...,"_id":...}}`` + the document JSON
+    on the next line.  `to_json` over a struct keeps it JVM-side; a file
+    sink writing this column IS an ES bulk file."""
+    action = F.concat(
+        F.lit('{"index":{"_index":"'), F.lit(index),
+        F.lit('","_id":"'), F.col(id_col).cast("string"), F.lit('"}}'))
+    doc = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+    return df.withColumn(target, F.concat_ws("\n", action, doc))
+
+
+def dots_encode(df: DataFrame, target: str = "dot") -> DataFrame:
+    """dots codec (progress-meter encode: one '.' per event)."""
+    return df.withColumn(target, F.lit("."))
+
+
+def rubydebug_encode(df: DataFrame, target: str = "debug") -> DataFrame:
+    """rubydebug codec analog: a readable per-event repr.  The reference
+    pretty-prints via awesome_print; the contract is 'full event, human
+    readable' — we emit canonical JSON of all columns (JVM `to_json`)."""
+    return df.withColumn(target, F.to_json(F.struct(*[F.col(c) for c in df.columns])))
 
 
 def multiline_assemble(

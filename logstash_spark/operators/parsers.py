@@ -89,3 +89,73 @@ def xml_filter(df: DataFrame, source: str, schema: str, target: str = "xml",
     parsed = F.from_xml(F.col(source), schema)
     df = df.withColumn(target, parsed)
     return add_tag(df, tag_on_failure, when=parsed.isNull())
+
+
+def yaml_filter(
+    df: DataFrame,
+    source: str,
+    schema: str,
+    target: str | None = None,
+    flat: bool = False,
+    tag_on_failure: str = "_yamlparsefailure",
+) -> DataFrame:
+    """Parse a YAML string field (logstash-filter-yaml, meta:240).
+
+    Two paths, like the reference's Psych parse but typed:
+
+    * ``flat=True`` — the common config/telemetry shape ``key: value`` per
+      line.  Pure JVM: strip comments, ``str_to_map`` on lines, then cast
+      through the given schema via a synthesized JSON doc.  Zero Python.
+    * ``flat=False`` — full YAML via an Arrow-batched pandas UDF
+      (``yaml.safe_load`` -> JSON string), then JVM ``from_json``.  The
+      Python stage touches ONLY the source column (one string in, one
+      string out per row, Arrow transfer) — at 100 TB this is the same
+      bounded-Python pattern as the multimodal decode stage; everything
+      downstream of the JSON string stays in codegen.
+
+    Failure (invalid YAML / non-mapping root) -> ``tag_on_failure``.
+    """
+    if flat:
+        from pyspark.sql.types import StructType
+
+        # drop comment lines and trailing comments, then line-wise k: v map
+        cleaned = F.regexp_replace(F.col(source), r"(?m)^\s*#.*\n?|\s+#.*$", "")
+        m = F.str_to_map(F.trim(cleaned), F.lit("\n"), F.lit(r":\s+"))
+        fields = StructType.fromDDL(schema).fields
+        parsed = F.struct(*[
+            F.element_at(m, f.name).try_cast(f.dataType).alias(f.name)
+            for f in fields])
+        ok = m.isNotNull() & (F.size(F.map_keys(m)) > 0)
+        df = df.withColumn(target or "yaml", F.when(ok, parsed))
+        return add_tag(df, tag_on_failure, when=~ok)
+    else:
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _series_conv(s):
+            import yaml as _yaml
+
+            def conv(v):
+                if v is None:
+                    return None
+                try:
+                    doc = _yaml.safe_load(v)
+                except Exception:
+                    return None
+                if not isinstance(doc, dict):
+                    return None
+                return _json.dumps(doc, sort_keys=True)
+
+            return s.map(conv)
+
+        # real annotation objects: `from __future__ import annotations`
+        # stringifies inline hints, which pandas_udf can't resolve
+        _series_conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        json_doc = pandas_udf(_series_conv, "string")(F.col(source))
+
+    parsed = F.from_json(json_doc, schema)
+    ok = json_doc.isNotNull() & F.try_parse_json(json_doc).isNotNull()
+    df = df.withColumn(target or "yaml", parsed)
+    return add_tag(df, tag_on_failure, when=~ok)

@@ -134,3 +134,84 @@ def test_csv_lines_decode(spark):
            .orderBy("name").collect())
     assert [(r.name, r.n, r.note) for r in out] == [
         ("a", 1, "x,y"), ("b", 2, "z")]
+
+
+def test_yaml_filter_flat_and_full(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.parsers import yaml_filter
+
+    df = spark.createDataFrame([
+        Row(id=1, y="role: user\nidx: 3\nmsg: hello"),
+        Row(id=2, y="# comment\nrole: tool   # trailing\nidx: 4\nmsg: ok"),
+        Row(id=3, y="not: [valid"),          # invalid YAML
+        Row(id=4, y="- a\n- b"),             # non-mapping root
+        Row(id=5, y=None),
+    ])
+    schema = "role string, idx long, msg string"
+
+    full = {r.id: r for r in yaml_filter(df, "y", schema, target="p").collect()}
+    assert full[1].p.role == "user" and full[1].p.idx == 3
+    assert full[2].p.role == "tool" and full[2].p.msg == "ok"
+    for bad in (3, 4, 5):
+        assert "_yamlparsefailure" in (full[bad].tags or [])
+    assert "_yamlparsefailure" not in (full[1].tags or [])
+
+    # flat JVM path parses the k: v shape identically (comments stripped)
+    flat = {r.id: r for r in
+            yaml_filter(df.filter("id <= 2"), "y", schema, target="p",
+                        flat=True).collect()}
+    assert flat[1].p.role == "user" and flat[1].p.idx == 3
+    assert flat[2].p.role == "tool" and flat[2].p.msg == "ok"
+
+
+def test_cef_decode_space_values_and_miss(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.codecs import cef_decode
+
+    df = spark.createDataFrame([
+        Row(id=1, raw="CEF:0|Vendor|Prod|1.0|sig42|Port scan detected|7|"
+                      "src=10.1.2.3 msg=multi word value spt=443"),
+        Row(id=2, raw="plainly not cef"),
+    ])
+    out = {r.id: r for r in cef_decode(df, "raw").collect()}
+    assert out[1].cef_vendor == "Vendor"
+    assert out[1].cef_name == "Port scan detected"
+    assert out[1].cef_severity == "7"
+    # a value containing spaces runs until the next key=
+    assert out[1].cef_ext["msg"] == "multi word value"
+    assert out[1].cef_ext["spt"] == "443"
+    assert "_cefparsefailure" in (out[2].tags or [])
+    assert "_cefparsefailure" not in (out[1].tags or [])
+
+
+def test_graphite_roundtrip_and_es_bulk(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.codecs import (
+        dots_encode, es_bulk_encode, graphite_decode, graphite_encode,
+        rubydebug_encode)
+
+    df = spark.createDataFrame([
+        Row(id="a", raw="servers.web1.load 0.75 1700000000"),
+        Row(id="b", raw="bad line"),
+    ])
+    dec = {r.id: r for r in graphite_decode(df, "raw").collect()}
+    assert dec["a"].metric == "servers.web1.load"
+    assert dec["a"].metric_value == 0.75
+    assert "_graphiteparsefailure" in (dec["b"].tags or [])
+
+    enc = graphite_encode(
+        graphite_decode(df, "raw").filter("metric is not null"),
+        "metric", "metric_value", "metric_ts", target="line2").collect()
+    assert enc[0].line2 == "servers.web1.load 0.75 1700000000"
+
+    docs = spark.createDataFrame([Row(doc_id="d1", text="hi \"there\"")])
+    bulk = es_bulk_encode(docs, index="docs", id_col="doc_id",
+                          doc_cols=["doc_id", "text"]).collect()[0].bulk
+    action, doc = bulk.split("\n")
+    import json
+    assert json.loads(action) == {"index": {"_index": "docs", "_id": "d1"}}
+    assert json.loads(doc) == {"doc_id": "d1", "text": 'hi "there"'}
+
+    assert dots_encode(docs).collect()[0].dot == "."
+    dbg = json.loads(rubydebug_encode(docs).collect()[0].debug)
+    assert dbg["doc_id"] == "d1"
