@@ -75,3 +75,68 @@ def lookup(
 
         out = add_tag(out, tag_on_miss, when=~hit)
     return out.drop("__lk_key", *[f"__lk_{t}" for t in fetch.values()])
+
+
+def jdbc_static(
+    df: DataFrame,
+    source: str,
+    fetch: dict[str, str] | list[str],
+    dim: DataFrame | None = None,
+    dim_key: str | None = None,
+    jdbc_url: str | None = None,
+    loader_query: str | None = None,
+    driver: str | None = None,
+    tag_on_miss: str | None = "_jdbcstaticfailure",
+    **lookup_kwargs,
+) -> DataFrame:
+    """jdbc_static filter analog (plugins-metadata.json:156): load a remote
+    table once (`loaders`), then per-event local lookups (`local_lookups`).
+
+    Pass either a pre-loaded `dim` DataFrame (the tested path: any Spark
+    datasource can be the loader) or `jdbc_url` + `loader_query`, which maps
+    1:1 onto the reference's loader and reads via the Spark JDBC datasource
+    (driver jar required at deploy; absent here, the JDBC read raises with
+    the exact `--jars` hint).  Refresh (`loader_schedule`) = re-resolve the
+    dim per micro-batch in foreachBatch, as documented on :func:`lookup`.
+    """
+    if dim is None:
+        if not (jdbc_url and loader_query):
+            raise ValueError("jdbc_static needs dim= or jdbc_url=+loader_query=")
+        reader = (df.sparkSession.read.format("jdbc")
+                  .option("url", jdbc_url)
+                  .option("query", loader_query))
+        if driver:
+            reader = reader.option("driver", driver)
+        try:
+            dim = reader.load()
+        except Exception as exc:  # driver class missing in this sandbox
+            raise NotImplementedError(
+                "jdbc_static remote loader needs the JDBC driver jar: "
+                "spark-submit --jars <driver.jar> (or pass a pre-loaded dim=)"
+            ) from exc
+    if dim_key is None:
+        raise ValueError("jdbc_static needs dim_key=")
+    return lookup(df, source, dim, dim_key, fetch,
+                  tag_on_miss=tag_on_miss, **lookup_kwargs)
+
+
+def memcached_lookup(df: DataFrame, source: str, dim: DataFrame,
+                     fetch: dict[str, str] | list[str],
+                     dim_key: str = "key", **kw) -> DataFrame:
+    """memcached filter analog (plugins-metadata.json:177 GET mode): the
+    cache contents are snapshotted into a key/value dim (per micro-batch
+    for freshness) and each event does a local keyed GET — a broadcast
+    join, not a per-event network round-trip, which is the only shape that
+    survives 100 TB.  SET mode = writing the dim back, i.e. a sink."""
+    return lookup(df, source, dim, dim_key, fetch, **kw)
+
+
+def elasticsearch_lookup(df: DataFrame, source: str, dim: DataFrame,
+                         fetch: dict[str, str] | list[str],
+                         dim_key: str = "_id", **kw) -> DataFrame:
+    """elasticsearch filter analog (plugins-metadata.json:127): the
+    reference issues a query per event; at scale the correct Spark shape is
+    a dim snapshot of the queried index (es-hadoop / exported parquet) and
+    a broadcast join on the query key.  Per-event HTTP is deliberately not
+    offered (per-row network in a hot path)."""
+    return lookup(df, source, dim, dim_key, fetch, **kw)

@@ -1,4 +1,4 @@
-"""External stream connectors: Kafka source/sink wiring.
+"""External stream connectors: Kafka source/sink wiring; tcp/syslog inputs.
 
 Reference: the kafka input/output pair is the most common real deployment
 edge (rakelib/plugins-metadata.json:424).  The Spark analog is the built-in
@@ -71,6 +71,58 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
         return raw.select(F.from_json(val, schema).alias("j"), *meta) \
                   .select("j.*", *[c for c in ("topic", "partition", "offset", "kafka_ts")])
     raise ValueError(f"unsupported kafka codec {codec!r}")
+
+
+def tcp_source(spark: SparkSession, host: str, port: int,
+               codec: str = "line", schema: str | None = None) -> DataFrame:
+    """tcp input analog (plugins-metadata.json: logstash-input-tcp) over
+    Spark's built-in socket source (no extra jar).
+
+    The socket source is NOT replayable (no offsets — same as the
+    reference's tcp input before the persisted queue); for at-least-once
+    delivery put a durable bus (kafka / files) in front, exactly as the
+    reference docs recommend for tcp.  codec "line"/"plain" -> `message`
+    string column; "json_lines" -> `schema` columns.
+    """
+    raw = (spark.readStream.format("socket")
+           .option("host", host).option("port", int(port)).load())
+    val = F.col("value")
+    if codec in ("line", "plain"):
+        return raw.select(val.alias("message"))
+    if codec == "json_lines":
+        if not schema:
+            raise ValueError("tcp_source codec=json_lines needs a schema")
+        return raw.select(F.from_json(val, schema).alias("j")).select("j.*")
+    raise ValueError(f"unsupported tcp codec {codec!r}")
+
+
+def syslog_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """syslog input analog (logstash-input-syslog): tcp + RFC3164 parse.
+
+    The reference input is literally 'tcp/udp + grok SYSLOGLINE + priority
+    decode' (its docs say as much) — composed here from :func:`tcp_source`,
+    the grok SYSLOGBASE2 shape and the syslog_pri math, all pure Columns on
+    the stream.  Unparsable lines tag `_syslogparsefailure` and keep the
+    raw message (reference behavior).
+    """
+    from logstash_spark.functions.decorators import add_tag
+
+    lines = tcp_source(spark, host, port, codec="line")
+    # <PRI>MMM dd HH:mm:ss host program[pid]: msg
+    pat = (r"^(?:<(\d+)>)?([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+           r"(\S+) ([\w./-]+)(?:\[(\d+)\])?: (.*)$")
+    pri = F.regexp_extract("message", pat, 1).try_cast("int")
+    parsed = (lines
+              .withColumn("priority", pri)
+              .withColumn("facility", (pri / 8).cast("int"))
+              .withColumn("severity", pri % 8)
+              .withColumn("sys_ts", F.nullif(F.regexp_extract("message", pat, 2), F.lit("")))
+              .withColumn("logsource", F.nullif(F.regexp_extract("message", pat, 3), F.lit("")))
+              .withColumn("program", F.nullif(F.regexp_extract("message", pat, 4), F.lit("")))
+              .withColumn("pid", F.regexp_extract("message", pat, 5).try_cast("int"))
+              .withColumn("msg", F.nullif(F.regexp_extract("message", pat, 6), F.lit(""))))
+    return add_tag(parsed, "_syslogparsefailure",
+                   when=~F.col("message").rlike(pat))
 
 
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,

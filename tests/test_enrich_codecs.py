@@ -215,3 +215,37 @@ def test_graphite_roundtrip_and_es_bulk(spark):
     assert dots_encode(docs).collect()[0].dot == "."
     dbg = json.loads(rubydebug_encode(docs).collect()[0].debug)
     assert dbg["doc_id"] == "d1"
+
+
+def test_jdbc_static_and_named_lookups(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.lookup import (
+        elasticsearch_lookup, jdbc_static, memcached_lookup)
+
+    events = spark.createDataFrame(
+        [Row(id=1, user="ann"), Row(id=2, user="bob"), Row(id=3, user="zed")])
+    dim = spark.createDataFrame(
+        [Row(login="ann", dept="eng"), Row(login="bob", dept="ops")])
+
+    out = {r.id: r for r in jdbc_static(
+        events, "user", {"dept": "user_dept"}, dim=dim, dim_key="login",
+    ).collect()}
+    assert out[1].user_dept == "eng" and out[2].user_dept == "ops"
+    assert out[3].user_dept is None
+    assert "_jdbcstaticfailure" in (out[3].tags or [])
+
+    # remote-loader path is honestly gated without a driver jar
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="--jars"):
+        jdbc_static(events, "user", ["dept"],
+                    jdbc_url="jdbc:postgresql://h/db",
+                    loader_query="SELECT * FROM t", dim_key="login")
+
+    mc = memcached_lookup(events, "user",
+                          dim.withColumnRenamed("login", "key"),
+                          {"dept": "cached_dept"})
+    assert {r.cached_dept for r in mc.collect()} == {"eng", "ops", None}
+    es = elasticsearch_lookup(events, "user",
+                              dim.withColumnRenamed("login", "_id"),
+                              ["dept"])
+    assert {r.dept for r in es.collect()} == {"eng", "ops", None}

@@ -400,3 +400,58 @@ def test_kafka_wiring_gated(spark):
         import pytest as _pytest
         with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
             kafka_source(spark, "localhost:9092", "t", codec="line")
+
+
+def test_tcp_syslog_source_live(spark):
+    """Drive the tcp/syslog inputs against a real local TCP server: lines
+    written to the socket arrive parsed in a memory sink."""
+    import socket
+    import threading
+    import time
+
+    from logstash_spark.sources.connectors import syslog_source
+
+    lines = [
+        "<34>Oct 11 22:14:15 host1 su[1024]: 'su root' failed on /dev/pts/8",
+        "<13>Feb  5 17:32:18 web-07 nginx: GET /index.html 200",
+        "totally unparsable line",
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        time.sleep(8)  # keep the connection open while Spark drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = syslog_source(spark, "127.0.0.1", port)
+    q = (out.writeStream.format("memory").queryName("syslog_mem")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("syslog_mem").count() >= len(lines):
+                break
+            time.sleep(0.5)
+        rows = {r.message: r for r in spark.table("syslog_mem").collect()}
+        assert len(rows) == len(lines)
+        r0 = rows[lines[0]]
+        assert (r0.priority, r0.facility, r0.severity) == (34, 4, 2)
+        assert r0.logsource == "host1" and r0.program == "su" and r0.pid == 1024
+        assert r0.msg == "'su root' failed on /dev/pts/8"
+        r1 = rows[lines[1]]
+        assert r1.program == "nginx" and r1.pid is None
+        r2 = rows[lines[2]]
+        assert "_syslogparsefailure" in (r2.tags or [])
+        assert r2.priority is None
+    finally:
+        q.stop()
+        srv.close()
