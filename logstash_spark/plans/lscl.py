@@ -386,6 +386,7 @@ _FAILURE_TAG = {
     "date": "_dateparsefailure",
     "json": "_jsonparsefailure",
     "xml": "_xmlparsefailure",
+    "yaml": "_yamlparsefailure",
 }
 
 
@@ -394,7 +395,7 @@ def _gsub_triplets(v: list) -> list[tuple[str, str, str]]:
 
 
 _SUPPORTED_PLUGINS = frozenset({
-    "grok", "dissect", "mutate", "date", "kv", "csv", "json", "xml",
+    "grok", "dissect", "mutate", "date", "kv", "csv", "json", "xml", "yaml",
     "fingerprint", "uuid", "anonymize", "translate", "prune", "de_dot",
     "truncate", "urldecode", "syslog_pri", "cidr", "drop", "clone",
     "split", "useragent", "geoip",
@@ -470,6 +471,11 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             from logstash_spark.operators.parsers import xml_filter
             return xml_filter(df, a.get("source", "message"), a["schema"],
                               target=a.get("target", "xml"))
+        if name == "yaml":
+            from logstash_spark.operators.parsers import yaml_filter
+            return yaml_filter(df, a.get("source", "message"), a["schema"],
+                               target=a.get("target"),
+                               flat=bool(a.get("flat", False)))
         if name == "fingerprint":
             from logstash_spark.operators.misc import fingerprint
             srcs = a.get("source", ["message"])
@@ -618,7 +624,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 # ---------------------------------------------------------------------------
 
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin"})
-_SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null"})
+_SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch", "tcp"})
 
 
 class LsclJob:
@@ -741,6 +747,20 @@ class LsclJob:
                 writer.parquet(path)
             else:
                 raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
+            return
+        if n.name == "elasticsearch":
+            from logstash_spark.sources.connectors import elasticsearch_sink
+
+            elasticsearch_sink(df, index=a.get("index", "logstash"),
+                               id_col=a["document_id"],
+                               path=a.get("path"), nodes=a.get("hosts"))
+            return
+        if n.name == "tcp":
+            from logstash_spark.functions.decorators import strip_metadata
+            from logstash_spark.sources.connectors import tcp_sink
+
+            tcp_sink(strip_metadata(df), a["host"], a["port"],
+                     message_col=a.get("message_field"))
             return
         raise AssertionError(n.name)
 

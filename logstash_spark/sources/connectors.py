@@ -125,6 +125,73 @@ def syslog_source(spark: SparkSession, host: str, port: int) -> DataFrame:
                    when=~F.col("message").rlike(pat))
 
 
+def tcp_sink(df: DataFrame, host: str, port: int,
+             message_col: str | None = None) -> int:
+    """tcp output analog (logstash-output-tcp, client mode): each partition
+    opens one socket and streams its rows as newline-delimited text —
+    executor-side, no driver collect, connection count = partition count
+    (bound it with coalesce upstream for a single-endpoint receiver).
+    Returns the number of rows sent.  For streaming, call per micro-batch
+    inside foreachBatch."""
+    col = (F.col(message_col).cast("string") if message_col
+           else F.to_json(F.struct(*df.columns)))
+    payload = df.select(col.alias("line"))
+
+    def send_partition(rows):
+        import socket as _socket
+
+        sent = 0
+        sock = None
+        try:
+            for row in rows:
+                if sock is None:  # connect lazily: empty partitions stay silent
+                    sock = _socket.create_connection((host, int(port)), timeout=30)
+                sock.sendall((row.line + "\n").encode("utf-8"))
+                sent += 1
+        finally:
+            if sock is not None:
+                sock.close()
+        yield sent
+
+    return sum(payload.rdd.mapPartitions(send_partition).collect())
+
+
+def elasticsearch_sink(df: DataFrame, index: str, id_col: str,
+                       path: str | None = None,
+                       nodes: str | None = None) -> None:
+    """elasticsearch output analog (plugins-metadata.json:
+    logstash-output-elasticsearch).  Two modes:
+
+    * ``path=`` — write the exact `_bulk` API wire format (es_bulk codec)
+      as text files: the sandbox-testable shape, and directly POSTable.
+    * ``nodes=`` — the real cluster mode via the es-hadoop datasource
+      (`org.elasticsearch.spark.sql`), jar-gated like kafka/avro.
+    """
+    if path:
+        from logstash_spark.functions.decorators import strip_metadata
+        from logstash_spark.operators.codecs import es_bulk_encode
+
+        clean = strip_metadata(df)
+        doc_cols = [c for c in clean.columns if c != id_col] + [id_col]
+        bulk = es_bulk_encode(clean, index=index, id_col=id_col,
+                              doc_cols=doc_cols)
+        bulk.select(F.col("bulk").alias("value")).write.mode("overwrite").text(path)
+        return
+    if nodes:
+        try:
+            (df.write.format("org.elasticsearch.spark.sql")
+             .option("es.nodes", nodes)
+             .option("es.mapping.id", id_col)
+             .mode("append").save(index))
+            return
+        except Exception as exc:
+            raise NotImplementedError(
+                "elasticsearch cluster mode needs the es-hadoop jar: "
+                "spark-submit --jars elasticsearch-spark-30_2.13-<ver>.jar "
+                "(or use path= for the _bulk file form)") from exc
+    raise ValueError("elasticsearch_sink needs path= or nodes=")
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                checkpoint: str, key_col: str | None = None):
     """kafka output analog: rows serialized as JSON to `value`, started as a

@@ -455,3 +455,91 @@ def test_tcp_syslog_source_live(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_tcp_sink_live_and_es_bulk_output(spark, tmp_path):
+    """tcp output: executor-side socket writes land on a live server;
+    elasticsearch output (path mode): _bulk wire format round-trips."""
+    import json
+    import socket
+    import threading
+
+    from pyspark.sql import Row
+    from logstash_spark.sources.connectors import elasticsearch_sink, tcp_sink
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(30)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                break
+            buf = b""
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            conn.close()
+            received.extend(l for l in buf.decode().split("\n") if l)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    df = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", text=f"payload {i}") for i in range(10)]
+    ).coalesce(2)
+    sent = tcp_sink(df, "127.0.0.1", port)
+    assert sent == 10
+    deadline = __import__("time").time() + 20
+    while len(received) < 10 and __import__("time").time() < deadline:
+        __import__("time").sleep(0.2)
+    stop.set()
+    srv.close()
+    docs = sorted(json.loads(l)["doc_id"] for l in received)
+    assert docs == [f"d{i}" for i in range(10)]
+
+    # elasticsearch path-mode: bulk file is action+doc pairs, @metadata pruned
+    from pyspark.sql import functions as F
+    meta_df = df.withColumn("@metadata", F.struct(F.lit("x").alias("k")))
+    es_path = str(tmp_path / "bulk")
+    elasticsearch_sink(meta_df, index="docs", id_col="doc_id", path=es_path)
+    lines = [l.value for l in spark.read.text(es_path).collect()]
+    # each row emitted one 2-line bulk entry (text file splits the \n)
+    assert len(lines) == 20
+    actions = [json.loads(l) for l in lines if '"index"' in l]
+    assert {a["index"]["_id"] for a in actions} == {f"d{i}" for i in range(10)}
+    payload_docs = [json.loads(l) for l in lines if '"index"' not in l]
+    assert all("@metadata" not in d for d in payload_docs)
+
+
+def test_lscl_yaml_filter_and_es_output(spark, tmp_path):
+    """Full config: generator input -> yaml filter -> elasticsearch output
+    (bulk path mode) executes end-to-end from LSCL text."""
+    import json
+
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    es_path = str(tmp_path / "es")
+    cfg = '''
+    input { generator { count => 5 } }
+    filter {
+      mutate { add_field => { "ydoc" => "seq: %{sequence}" } }
+      yaml { source => "ydoc" schema => "seq long" target => "y" }
+    }
+    output { elasticsearch { index => "gen" document_id => "sequence" path => "__ES_PATH__" } }
+    '''.replace("__ES_PATH__", es_path)
+    job = compile_lscl_job(cfg)
+    out = job.run(spark)
+    assert out.count() == 5
+    lines = [l.value for l in spark.read.text(es_path).collect()]
+    actions = [json.loads(l) for l in lines if '"index"' in l]
+    assert len(actions) == 5 and actions[0]["index"]["_index"] == "gen"
