@@ -77,11 +77,20 @@ def dissect(
     DELIM = "\x1e"
     rx = f"(?s){d.regex}"
     repl = DELIM + DELIM.join(f"${d.group_of(f)}" for f in d.fields)
-    packed = F.regexp_replace(src, rx, repl)
+    # Materialize packed/parts/ok as real columns (see grok.grok): inline,
+    # they'd sit only under CASE WHEN branches where codegen does no common-
+    # subexpression elimination, re-running the regex once per field.
     has_delim = F.coalesce(src.contains(DELIM), F.lit(False))
-    ok = src.isNotNull() & F.when(has_delim, src.rlike(rx)) \
-                            .otherwise(packed.startswith(DELIM))
-    arr = F.split(packed, DELIM, -1)
+    # n emitted fields -> n+1 split parts; zero -> lone DELIM -> 2 parts
+    n = len(d.fields) or 1
+    df = df.withColumn("__dis_parts",
+                       F.split(F.regexp_replace(src, rx, repl), DELIM, -1))
+    arr = F.col("__dis_parts")
+    ok_packed = (F.size(arr) == n + 1) & (F.element_at(arr, 1) == "")
+    df = df.withColumn(
+        "__dis_ok",
+        src.isNotNull() & F.when(has_delim, src.rlike(rx)).otherwise(ok_packed))
+    ok = F.col("__dis_ok")
     cols = {}
     for i, f in enumerate(d.fields):
         fast = F.element_at(arr, i + 2)
@@ -93,4 +102,5 @@ def dissect(
             col = col.cast({"int": "long", "float": "double"}.get(cast, cast))
         cols[f] = col
     df = df.withColumns(cols)
-    return add_tag(df, tag_on_failure, when=~ok)
+    df = add_tag(df, tag_on_failure, when=~ok)
+    return df.drop("__dis_parts", "__dis_ok")

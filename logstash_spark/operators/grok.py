@@ -154,16 +154,44 @@ def grok(
     g = CompiledGrok(template, patterns)
     src = F.col(source)
     if single_pass:
-        packed = g.packed_col(src)
+        # Materialize the shared intermediates (packed regex result, its
+        # split, the match flag) as REAL columns in their own projections.
+        # Expressions referenced only under CASE WHEN branches are not
+        # common-subexpression-eliminated by codegen, so an inline `packed`
+        # re-runs the big regex once per capture column (measured 9x on the
+        # north-star parse stage).  CollapseProject keeps these projections
+        # separate: a non-cheap producer with >1 consumer is never inlined.
         has_delim = F.coalesce(src.contains(g.DELIM), F.lit(False))
-        ok = F.when(has_delim, g.matched(src)) \
-             .otherwise(g.matched_from_packed(src, packed))
-        cols = g.extract_all(ok & ~has_delim, packed)
-        cols = {f: F.when(has_delim, g.extract(src, f)).otherwise(c)
-                for f, c in cols.items()}
-    else:
-        ok = g.matched(src)
-        cols = {f: F.when(ok, g.extract(src, f)) for f, _ in g.captures}
+        # a match replaces the whole string with DELIM + DELIM.join(caps):
+        # n captures -> n+1 split parts; zero captures -> lone DELIM -> 2
+        n = len(g.captures) or 1
+        df = df.withColumn("__grok_parts",
+                           F.split(g.packed_col(src), g.DELIM, -1))
+        parts = F.col("__grok_parts")
+        # match test from the parts shape: a match produced exactly the
+        # empty pre-sentinel slot + n capture slots (captures can't contain
+        # the sentinel — rows that do are routed to the fallback)
+        ok_packed = (src.isNotNull() & (F.size(parts) == n + 1)
+                     & (F.element_at(parts, 1) == ""))
+        df = df.withColumn(
+            "__grok_ok",
+            F.when(has_delim, g.matched(src)).otherwise(ok_packed))
+        ok = F.col("__grok_ok")
+        cols = {}
+        for i, (field, cast) in enumerate(g.captures):
+            # element 1 is the empty pre-sentinel slot; captures start at 2
+            raw = F.element_at(parts, i + 2)
+            raw = F.when(ok & ~has_delim & (raw != ""), raw)
+            val = raw.cast(cast) if cast else raw
+            # sentinel-bearing rows fall back to per-group extraction
+            cols[field] = F.when(has_delim, g.extract(src, field)).otherwise(val)
+        df = df.withColumns(cols)
+        df = add_tag(df, tag_on_failure, when=~ok)
+        if not keep_unmatched:
+            df = df.filter(ok)
+        return df.drop("__grok_parts", "__grok_ok")
+    ok = g.matched(src)
+    cols = {f: F.when(ok, g.extract(src, f)) for f, _ in g.captures}
     df = df.withColumns(cols)
     df = add_tag(df, tag_on_failure, when=~ok)
     if not keep_unmatched:
