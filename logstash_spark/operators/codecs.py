@@ -89,7 +89,10 @@ def cef_decode(df: DataFrame, source: str, target_prefix: str = "cef_") -> DataF
 
     is_cef = F.col(source).rlike(r"^CEF:\d+\|")
     body = F.regexp_replace(F.col(source), r"^CEF:", "")
-    parts = F.split(body, r"\|", 8)
+    # materialized once: under the per-column CASE WHEN guards the split
+    # would not be common-subexpression-eliminated (see operators/grok.py)
+    df = df.withColumn("__cef_parts", F.split(body, r"\|", 8))
+    parts = F.col("__cef_parts")
     headers = ["version", "vendor", "product", "device_version",
                "signature_id", "name", "severity"]
     for i, h in enumerate(headers):
@@ -99,7 +102,8 @@ def cef_decode(df: DataFrame, source: str, target_prefix: str = "cef_") -> DataF
     df = df.withColumn(
         f"{target_prefix}ext",
         F.str_to_map(ext, F.lit(r"\s+(?=[\w.]+=)"), F.lit("=")))
-    return add_tag(df, "_cefparsefailure", when=~is_cef)
+    df = add_tag(df, "_cefparsefailure", when=~is_cef)
+    return df.drop("__cef_parts")
 
 
 def graphite_decode(df: DataFrame, source: str) -> DataFrame:
@@ -109,14 +113,16 @@ def graphite_decode(df: DataFrame, source: str) -> DataFrame:
     ``_graphiteparsefailure``.  Pure Columns."""
     from logstash_spark.functions.decorators import add_tag
 
-    p = F.split(F.trim(F.col(source)), r"\s+")
+    df = df.withColumn("__gr_parts", F.split(F.trim(F.col(source)), r"\s+"))
+    p = F.col("__gr_parts")
     val = F.get(p, 1).try_cast("double")
     ts = F.get(p, 2).try_cast("long")
     ok = (F.size(p) == 3) & val.isNotNull() & ts.isNotNull()
     df = (df.withColumn("metric", F.when(ok, F.get(p, 0)))
             .withColumn("metric_value", F.when(ok, val))
             .withColumn("metric_ts", F.when(ok, F.timestamp_seconds(ts))))
-    return add_tag(df, "_graphiteparsefailure", when=~ok)
+    df = add_tag(df, "_graphiteparsefailure", when=~ok)
+    return df.drop("__gr_parts")
 
 
 def graphite_encode(df: DataFrame, metric: str, value: str, ts: str,

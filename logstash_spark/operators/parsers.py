@@ -120,14 +120,24 @@ def yaml_filter(
 
         # drop comment lines and trailing comments, then line-wise k: v map
         cleaned = F.regexp_replace(F.col(source), r"(?m)^\s*#.*\n?|\s+#.*$", "")
-        m = F.str_to_map(F.trim(cleaned), F.lit("\n"), F.lit(r":\s+"))
+        # materialized once: under the per-field when() guard the map parse
+        # is conditional, so codegen subexpression elimination would not
+        # dedupe it across fields (see operators/grok.py packed-split note)
+        df = df.withColumn(
+            "__yaml_map",
+            F.str_to_map(F.trim(cleaned), F.lit("\n"), F.lit(r":\s+")))
+        m = F.col("__yaml_map")
         fields = StructType.fromDDL(schema).fields
         parsed = F.struct(*[
             F.element_at(m, f.name).try_cast(f.dataType).alias(f.name)
             for f in fields])
-        ok = m.isNotNull() & (F.size(F.map_keys(m)) > 0)
+        # str_to_map maps "" -> {""->NULL} and separator-less garbage to
+        # {text->NULL}; a doc is valid only if some line actually parsed as
+        # `k: v` (mirrors the full path rejecting non-mapping roots)
+        ok = m.isNotNull() & (F.size(
+            F.map_filter(m, lambda _k, v: v.isNotNull())) > 0)
         df = df.withColumn(target or "yaml", F.when(ok, parsed))
-        return add_tag(df, tag_on_failure, when=~ok)
+        return add_tag(df, tag_on_failure, when=~ok).drop("__yaml_map")
     else:
         import json as _json
 
