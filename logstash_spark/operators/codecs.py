@@ -91,7 +91,10 @@ def cef_decode(df: DataFrame, source: str, target_prefix: str = "cef_") -> DataF
     body = F.regexp_replace(F.col(source), r"^CEF:", "")
     # materialized once: under the per-column CASE WHEN guards the split
     # would not be common-subexpression-eliminated (see operators/grok.py)
-    df = df.withColumn("__cef_parts", F.split(body, r"\|", 8))
+    # explode(array(...)) Generate barrier: predicate pushdown would
+    # substitute the split through a plain projection (see grok.grok)
+    df = df.withColumn("__cef_parts",
+                       F.explode(F.array(F.split(body, r"\|", 8))))
     parts = F.col("__cef_parts")
     headers = ["version", "vendor", "product", "device_version",
                "signature_id", "name", "severity"]
@@ -113,7 +116,9 @@ def graphite_decode(df: DataFrame, source: str) -> DataFrame:
     ``_graphiteparsefailure``.  Pure Columns."""
     from logstash_spark.functions.decorators import add_tag
 
-    df = df.withColumn("__gr_parts", F.split(F.trim(F.col(source)), r"\s+"))
+    df = df.withColumn(
+        "__gr_parts",  # Generate barrier, see grok.grok
+        F.explode(F.array(F.split(F.trim(F.col(source)), r"\s+"))))
     p = F.col("__gr_parts")
     val = F.get(p, 1).try_cast("double")
     ts = F.get(p, 2).try_cast("long")

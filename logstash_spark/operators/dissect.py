@@ -80,11 +80,17 @@ def dissect(
     # Materialize packed/parts/ok as real columns (see grok.grok): inline,
     # they'd sit only under CASE WHEN branches where codegen does no common-
     # subexpression elimination, re-running the regex once per field.
+    # explode(array(...)) = a 1:1 Generate barrier, not a Project: predicate
+    # pushdown substitutes aliases through a Project (a filter on an
+    # extracted field would re-run the packed regex per predicate below the
+    # projection) but never pushes a predicate referencing a generator
+    # output past its Generate.  See grok.grok for the measured cost.
     has_delim = F.coalesce(src.contains(DELIM), F.lit(False))
     # n emitted fields -> n+1 split parts; zero -> lone DELIM -> 2 parts
     n = len(d.fields) or 1
-    df = df.withColumn("__dis_parts",
-                       F.split(F.regexp_replace(src, rx, repl), DELIM, -1))
+    df = df.withColumn(
+        "__dis_parts",
+        F.explode(F.array(F.split(F.regexp_replace(src, rx, repl), DELIM, -1))))
     arr = F.col("__dis_parts")
     ok_packed = (F.size(arr) == n + 1) & (F.element_at(arr, 1) == "")
     df = df.withColumn(

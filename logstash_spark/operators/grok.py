@@ -159,14 +159,24 @@ def grok(
         # Expressions referenced only under CASE WHEN branches are not
         # common-subexpression-eliminated by codegen, so an inline `packed`
         # re-runs the big regex once per capture column (measured 9x on the
-        # north-star parse stage).  CollapseProject keeps these projections
-        # separate: a non-cheap producer with >1 consumer is never inlined.
+        # north-star parse stage).
         has_delim = F.coalesce(src.contains(g.DELIM), F.lit(False))
         # a match replaces the whole string with DELIM + DELIM.join(caps):
         # n captures -> n+1 split parts; zero captures -> lone DELIM -> 2
         n = len(g.captures) or 1
-        df = df.withColumn("__grok_parts",
-                           F.split(g.packed_col(src), g.DELIM, -1))
+        # explode(array(...)) = a 1:1 Generate, not a Project: alias-only
+        # materialization is defeated by predicate pushdown (a downstream
+        # filter on a capture column — e.g. the idiomatic
+        # .filter(status.isNotNull()) or keep_unmatched=False — gets
+        # substituted THROUGH the projection, re-running the packed regex
+        # 3-4x per row below it; measured +35% on the geoip query).
+        # Catalyst never pushes a predicate that references a generator
+        # output past its Generate, so the regex structurally runs once per
+        # row, while predicates on untouched columns still push to the scan.
+        # GenerateExec participates in whole-stage codegen — no stage break.
+        df = df.withColumn(
+            "__grok_parts",
+            F.explode(F.array(F.split(g.packed_col(src), g.DELIM, -1))))
         parts = F.col("__grok_parts")
         # match test from the parts shape: a match produced exactly the
         # empty pre-sentinel slot + n capture slots (captures can't contain

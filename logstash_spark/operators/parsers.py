@@ -123,9 +123,12 @@ def yaml_filter(
         # materialized once: under the per-field when() guard the map parse
         # is conditional, so codegen subexpression elimination would not
         # dedupe it across fields (see operators/grok.py packed-split note)
+        # explode(array(...)) = 1:1 Generate barrier so predicate pushdown
+        # can't substitute the map parse below this point (see grok.grok)
         df = df.withColumn(
             "__yaml_map",
-            F.str_to_map(F.trim(cleaned), F.lit("\n"), F.lit(r":\s+")))
+            F.explode(F.array(
+                F.str_to_map(F.trim(cleaned), F.lit("\n"), F.lit(r":\s+")))))
         m = F.col("__yaml_map")
         fields = StructType.fromDDL(schema).fields
         parsed = F.struct(*[
