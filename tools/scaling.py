@@ -202,6 +202,15 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written sections appended after the generated report
+    # (everything from the first "## geoip" heading on)
+    extra = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        idx = old.find("\n## geoip")
+        if idx != -1:
+            extra = old[idx:]
 
     def row(r):
         ph = r["phases"]
@@ -281,6 +290,8 @@ Shuffle partitions track core count; AQE coalescing enabled in all runs
 (logstash_spark/session.py).  Headline per-query timings are in
 `BENCH_r*.json` produced by `bench.py`.
 """)
+        if extra:
+            f.write(extra)
     print(json.dumps({"sf": sf, "results": {str(k): v for k, v in results.items()},
                       "local_cluster": {str(k): v for k, v in lc.items()},
                       "probes": {str(k): v for k, v in probes.items()},
