@@ -44,6 +44,7 @@ HEADLINE = [
     # the O(N^2) exact variant stays in the catalog as its oracle twin only.
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce_topk", "lang_id", "text_quality",
+    "corpus_clean",
 ]
 
 

@@ -1193,6 +1193,199 @@ FROM transcripts
 
 
 # ---------------------------------------------------------------------------
+# 49. bytes filter (community plugin logstash-filter-bytes)
+# ---------------------------------------------------------------------------
+
+def q_bytes(spark, sf_dir):
+    from logstash_spark.operators.community import bytes_filter
+
+    t = _t(spark, sf_dir)
+    units = F.array(F.lit(""), F.lit("b"), F.lit(" kb"),
+                    F.lit("MB"), F.lit(" GiB"), F.lit("tb"))
+    num = F.concat(
+        F.col("turn_idx").cast("string"),
+        F.when(F.col("turn_idx") % 2 == 1, F.lit(".5")).otherwise(F.lit("")))
+    size = F.when(F.col("turn_idx") % 13 == 0, F.lit("garbage")).otherwise(
+        F.concat(num, F.element_at(units, (F.col("turn_idx") % 6) + 1)))
+    out = bytes_filter(t.withColumn("size_str", size), "size_str")
+    return out.select(
+        "conv_id", "turn_idx", "bytes_value",
+        F.array_contains("tags", "_bytesparsefailure").alias("bytes_failed"))
+
+
+ORACLE_BYTES = oracle_with_transcripts("""
+WITH sized AS (
+    SELECT conv_id, turn_idx,
+           turn_idx + CASE WHEN turn_idx % 2 = 1 THEN 0.5 ELSE 0 END AS num,
+           CASE turn_idx % 6 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 3
+                WHEN 5 THEN 4 ELSE 0 END AS pw,
+           turn_idx % 13 = 0 AS bad
+    FROM transcripts)
+SELECT conv_id, turn_idx,
+       CASE WHEN bad THEN NULL
+            ELSE CAST(round(num * power(1024, pw)) AS BIGINT) END AS bytes_value,
+       bad AS bytes_failed
+FROM sized
+""")
+
+
+# ---------------------------------------------------------------------------
+# 50. cipher round-trip (community plugin logstash-filter-cipher)
+# ---------------------------------------------------------------------------
+
+def q_cipher(spark, sf_dir):
+    from logstash_spark.operators.community import cipher
+
+    t = _t(spark, sf_dir)
+    key = "0123456789abcdef"
+    enc = cipher(t, "text", "enc", key, mode="encrypt", algorithm="ECB")
+    dec = cipher(enc, "enc", "recovered", key, mode="decrypt", algorithm="ECB")
+    return dec.select("conv_id", "turn_idx", "recovered")
+
+
+ORACLE_CIPHER = oracle_with_transcripts("""
+SELECT conv_id, turn_idx, text AS recovered FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 51. extractnumbers (community plugin logstash-filter-extractnumbers)
+# ---------------------------------------------------------------------------
+
+def q_extractnumbers(spark, sf_dir):
+    from logstash_spark.operators.community import extractnumbers
+
+    t = _t(spark, sf_dir)
+    src = F.concat(F.col("text"), F.lit(" score="),
+                   F.col("turn_idx").cast("string"), F.lit(".25"))
+    out = extractnumbers(t.withColumn("numsrc", src), "numsrc")
+    return out.select("conv_id", "turn_idx", "ints", "floats")
+
+
+ORACLE_EXTRACTNUMBERS = oracle_with_transcripts(r"""
+SELECT conv_id, turn_idx,
+       list_transform(
+           regexp_extract_all(
+               regexp_replace(text || ' score=' || turn_idx || '.25',
+                              '[+-]?\d+\.\d+', ' ', 'g'),
+               '[+-]?\d+'),
+           s -> CAST(s AS BIGINT)) AS ints,
+       list_transform(
+           regexp_extract_all(text || ' score=' || turn_idx || '.25',
+                              '[+-]?\d+\.\d+'),
+           s -> CAST(s AS DOUBLE)) AS floats
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 52. json_encode (community plugin logstash-filter-json_encode)
+# ---------------------------------------------------------------------------
+
+def q_json_encode(spark, sf_dir):
+    from logstash_spark.operators.community import json_encode
+
+    t = _t(spark, sf_dir)
+    out = json_encode(t, ["role", "turn_idx"], target="j")
+    out = json_encode(out, "role", target="jrole")
+    return out.select("conv_id", "turn_idx", "j", "jrole")
+
+
+ORACLE_JSON_ENCODE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(role := role, turn_idx := turn_idx)) AS j,
+       to_json(role) AS jrole
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 53. metricize (community plugin logstash-filter-metricize)
+# ---------------------------------------------------------------------------
+
+def q_metricize(spark, sf_dir):
+    from logstash_spark.operators.community import metricize
+
+    t = _t(spark, sf_dir)
+    t = (t.withColumn("m_turn", F.col("turn_idx").cast("double"))
+          .withColumn("m_len", F.length("text").cast("double")))
+    out = metricize(t, ["m_turn", "m_len"])
+    return out.select("conv_id", "turn_idx", "metric", "value")
+
+
+ORACLE_METRICIZE = oracle_with_transcripts("""
+SELECT conv_id, turn_idx, 'm_turn' AS metric, CAST(turn_idx AS DOUBLE) AS value
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx, 'm_len' AS metric, CAST(length(text) AS DOUBLE) AS value
+FROM transcripts WHERE length(text) IS NOT NULL
+""")
+
+
+# ---------------------------------------------------------------------------
+# 54. tld (community plugin logstash-filter-tld)
+# ---------------------------------------------------------------------------
+
+def q_tld(spark, sf_dir):
+    from logstash_spark.operators.community import tld
+
+    t = _t(spark, sf_dir)
+    host = F.lower(F.concat_ws(".", F.col("role"),
+                               F.coalesce(F.col("tool"), F.lit("none")),
+                               F.lit("example.com")))
+    out = tld(t.withColumn("host", host), "host")
+    return out.select("conv_id", "turn_idx",
+                      "tld_tld", "tld_domain", "tld_subdomain")
+
+
+ORACLE_TLD = oracle_with_transcripts("""
+WITH hosts AS (
+    SELECT conv_id, turn_idx,
+           lower(role || '.' || coalesce(tool, 'none') || '.example.com') AS host
+    FROM transcripts)
+SELECT conv_id, turn_idx,
+       'com' AS tld_tld,
+       'example.com' AS tld_domain,
+       array_to_string(string_split(host, '.')[1:len(string_split(host, '.')) - 2],
+                       '.') AS tld_subdomain
+FROM hosts
+""")
+
+
+# ---------------------------------------------------------------------------
+# 55. range + age + alter combined (community plugins -range, -age, -alter)
+# ---------------------------------------------------------------------------
+
+def q_range_age_alter(spark, sf_dir):
+    from logstash_spark.operators.community import age, alter, range_filter
+
+    t = _t(spark, sf_dir)
+    out = range_filter(t, [
+        ("turn_idx", 2, 5, "tag:mid"),
+        ("text", 0, 39, "field:short:yes"),
+    ])
+    out = age(out, target="age", ts_col="ts", now="2024-06-01 00:00:00")
+    out = alter(out,
+                condrewrite=[("role", "tool", "machine")],
+                coalesce={"tool2": ["tool", "role"]})
+    return out.select(
+        "conv_id", "turn_idx",
+        F.array_contains("tags", "mid").alias("is_mid"),
+        F.col("short"), F.col("age"), F.col("role"), F.col("tool2"))
+
+
+ORACLE_RANGE_AGE_ALTER = oracle_with_transcripts("""
+SELECT conv_id, turn_idx,
+       turn_idx BETWEEN 2 AND 5 AS is_mid,
+       CASE WHEN length(text) BETWEEN 0 AND 39 THEN 'yes' END AS short,
+       epoch(TIMESTAMP '2024-06-01 00:00:00') - epoch(ts) AS age,
+       CASE WHEN role = 'tool' THEN 'machine' ELSE role END AS role,
+       coalesce(tool, role) AS tool2
+FROM transcripts
+""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1234,4 +1427,11 @@ CATALOG: dict[str, tuple] = {
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, ORACLE_DEDUP_EMBEDDING_LSH),
+    "bytes": (q_bytes, ORACLE_BYTES),
+    "cipher": (q_cipher, ORACLE_CIPHER),
+    "extractnumbers": (q_extractnumbers, ORACLE_EXTRACTNUMBERS),
+    "json_encode": (q_json_encode, ORACLE_JSON_ENCODE),
+    "metricize": (q_metricize, ORACLE_METRICIZE),
+    "tld": (q_tld, ORACLE_TLD),
+    "range_age_alter": (q_range_age_alter, ORACLE_RANGE_AGE_ALTER),
 }

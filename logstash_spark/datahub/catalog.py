@@ -374,6 +374,60 @@ FROM buckets GROUP BY bucket
 """
 
 
+# 12. composed cleaning pipeline (lang gate -> quality gate -> exact dedup) --
+
+def q_corpus_clean(spark, sf_dir):
+    from logstash_spark.datahub.pipeline import corpus_clean
+
+    load_tables(spark, sf_dir, "documents")
+    out = corpus_clean(spark.table("documents"))
+    return out.select("doc_id", "pred_lang", "quality")
+
+
+ORACLE_CORPUS_CLEAN = f"""
+WITH lscore AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+  FROM documents),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+         WHEN s_fr > GREATEST(s_en, s_es, s_de) THEN 'fr'
+         WHEN s_de > GREATEST(s_en, s_es) THEN 'de'
+         WHEN s_es > s_en THEN 'es'
+         ELSE 'en' END AS pred_lang
+  FROM lscore),
+qstat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents),
+quality AS (
+  SELECT doc_id,
+         CASE WHEN n_ws < 5 THEN 0.0
+              ELSE (n_stop / n_ws) * 0.5 + (n_alpha / n_chars) * 0.5
+         END AS quality
+  FROM qstat),
+filtered AS (
+  SELECT d.doc_id, lang.pred_lang, quality.quality,
+         md5({NORM_SQL.format(col='d.text')}) AS h
+  FROM documents d
+  JOIN lang USING (doc_id) JOIN quality USING (doc_id)
+  WHERE lang.pred_lang = 'en' AND quality.quality >= 0.2),
+kept AS (SELECT h, MIN(doc_id) AS doc_id FROM filtered GROUP BY h)
+SELECT f.doc_id, f.pred_lang, f.quality
+FROM filtered f JOIN kept k ON f.doc_id = k.doc_id
+"""
+
+
 DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
@@ -386,4 +440,5 @@ DATAHUB_CATALOG: dict[str, tuple] = {
     "text_quality": (q_quality, ORACLE_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
+    "corpus_clean": (q_corpus_clean, ORACLE_CORPUS_CLEAN),
 }

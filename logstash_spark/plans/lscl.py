@@ -16,13 +16,16 @@ to a DataFrame DAG:
 
 Supported subset: the filter-section plugins implemented in
 logstash_spark.operators (grok, dissect, mutate, date, kv, csv, json, xml,
-fingerprint, uuid, anonymize, translate, prune, de_dot, truncate,
-urldecode, syslog_pri, cidr, drop, clone, split, useragent) plus full
-conditional expressions with `if / else if / else`, nesting, and the
-common-decorator attrs add_tag/remove_tag/add_field/remove_field applied
-under the plugin's success predicate (filters/base.rb:195-226).  input/
-output sections are parsed but rejected with a pointer to our
-sources/sinks APIs (they are session-level concerns in Spark, not rows).
+yaml, fingerprint, uuid, anonymize, translate, prune, de_dot, truncate,
+urldecode, syslog_pri, cidr, drop, clone, split, useragent, geoip, plus
+the community set: bytes, cipher, environment, extractnumbers,
+json_encode, metricize, tld, age, alter, range) with full conditional
+expressions (`if / else if / else`, nesting) and the common-decorator
+attrs add_tag/remove_tag/add_field/remove_field applied under the
+plugin's success predicate (filters/base.rb:195-226).  `compile_lscl`
+compiles a filter-only config; `compile_lscl_job` compiles a COMPLETE
+config — input (generator/file/stdin), filter, output (stdout/file/null/
+elasticsearch/tcp) — onto sources/ and sinks/.
 
 Scale note: the compiler output is exactly the hand-built Pipeline — same
 branch/union shapes, same Column reuse — so everything Catalyst does for
@@ -387,6 +390,7 @@ _FAILURE_TAG = {
     "json": "_jsonparsefailure",
     "xml": "_xmlparsefailure",
     "yaml": "_yamlparsefailure",
+    "bytes": "_bytesparsefailure",
 }
 
 
@@ -399,6 +403,9 @@ _SUPPORTED_PLUGINS = frozenset({
     "fingerprint", "uuid", "anonymize", "translate", "prune", "de_dot",
     "truncate", "urldecode", "syslog_pri", "cidr", "drop", "clone",
     "split", "useragent", "geoip",
+    # community set (operators/community.py)
+    "bytes", "cipher", "environment", "extractnumbers", "json_encode",
+    "metricize", "tld", "age", "alter", "range",
 })
 
 
@@ -543,6 +550,65 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
                     "(cidr network/country/city columns — see "
                     "operators/enrich.cidr_blocks_df)")
             return geoip(df, a.get("source", "message"), blocks)
+        if name == "bytes":
+            from logstash_spark.operators.community import bytes_filter
+            return bytes_filter(df, a.get("source", "message"),
+                                target=a.get("target", "bytes_value"),
+                                conversion_method=a.get("conversion_method",
+                                                        "binary"))
+        if name == "cipher":
+            from logstash_spark.operators.community import cipher
+            return cipher(df, a["source"], a["target"], a["key"],
+                          mode=a.get("mode", "encrypt"),
+                          algorithm=a.get("algorithm", "GCM"),
+                          iv=a.get("iv"))
+        if name == "environment":
+            from logstash_spark.operators.community import environment
+            return environment(df, a["add_metadata_from_env"])
+        if name == "extractnumbers":
+            from logstash_spark.operators.community import extractnumbers
+            return extractnumbers(df, a.get("source", "message"))
+        if name == "json_encode":
+            from logstash_spark.operators.community import json_encode
+            return json_encode(df, a["source"],
+                               target=a.get("target", "json"))
+        if name == "metricize":
+            from logstash_spark.operators.community import metricize
+            m = a["metrics"]
+            return metricize(df, m if isinstance(m, list) else [m])
+        if name == "tld":
+            from logstash_spark.operators.community import tld
+            prefix = a.get("target")
+            return tld(df, a.get("source", "message"),
+                       target_prefix=f"{prefix}_" if prefix else "tld_")
+        if name == "age":
+            from logstash_spark.operators.community import age
+            return age(df, target=a.get("target", "age"),
+                       ts_col=a.get("source", "@timestamp"))
+        if name == "alter":
+            from logstash_spark.operators.community import alter
+            kw = {}
+            if "condrewrite" in a:
+                c = a["condrewrite"]
+                kw["condrewrite"] = [tuple(c[i:i + 3])
+                                     for i in range(0, len(c), 3)]
+            if "condrewriteother" in a:
+                c = a["condrewriteother"]
+                kw["condrewriteother"] = [tuple(c[i:i + 4])
+                                          for i in range(0, len(c), 4)]
+            if "coalesce" in a:
+                c = a["coalesce"]
+                kw["coalesce"] = ({c[0]: list(c[1:])} if isinstance(c, list)
+                                  else c)
+            return alter(df, **kw)
+        if name == "range":
+            from logstash_spark.operators.community import range_filter
+            specs = []
+            r = a["ranges"]
+            for i in range(0, len(r), 4):
+                f_, lo, hi, action = r[i:i + 4]
+                specs.append((f_, lo, hi, action))
+            return range_filter(df, specs, negate=a.get("negate", False))
         raise SyntaxError(
             f"LSCL: unsupported filter plugin {name!r} (supported: see "
             f"logstash_spark/plans/lscl.py docstring)")
@@ -551,7 +617,8 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
     # (single-select) If path; drop/clone/split change row counts, and
     # prune/de_dot rewrite the whole schema (they'd eat the fused path's
     # snapshot columns)
-    row_local = name not in ("drop", "clone", "split", "prune", "de_dot")
+    row_local = name not in ("drop", "clone", "split", "prune", "de_dot",
+                             "metricize", "range")
 
     if not (add_tags or remove_tags or add_fields or remove_fields):
         return Stage(op, name, row_local=row_local)

@@ -119,3 +119,17 @@ def test_frame_sample(spark):
                          F.lit(6).cast("long").alias("n_frames")))
     frames = M.frame_sample(media, every_n=2).collect()
     assert [r.frame_idx for r in frames] == [0, 2, 4]
+
+
+def test_corpus_clean_keeps_first_english_quality(docs, spark):
+    from logstash_spark.datahub.pipeline import corpus_clean
+
+    extra = spark.createDataFrame([
+        Row(doc_id=6, text="el que la de los gatos que la de"),       # spanish
+        Row(doc_id=7, text="x"),                                      # low quality
+    ])
+    out = corpus_clean(docs.unionByName(extra), min_quality=0.1)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 1 in kept and 2 not in kept     # dup keeps min doc_id
+    assert 6 not in kept and 7 not in kept
+    assert set(out.columns) >= {"doc_id", "pred_lang", "quality"}
