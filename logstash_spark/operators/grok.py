@@ -174,6 +174,10 @@ def grok(
         # output past its Generate, so the regex structurally runs once per
         # row, while predicates on untouched columns still push to the scan.
         # GenerateExec participates in whole-stage codegen — no stage break.
+        # Tradeoff: column pruning cannot remove a Generate either, so a
+        # consumer that drops ALL captures still pays the regex — callers
+        # aggregating raw fields only must not parse at all (see
+        # streaming/jobs.session_flags_stage for the north-star's shape).
         df = df.withColumn(
             "__grok_parts",
             F.explode(F.array(F.split(g.packed_col(src), g.DELIM, -1))))

@@ -63,8 +63,22 @@ def parse_stage(df: DataFrame) -> DataFrame:
                "status=%{INT:status:int} bytes=%{INT:bytes:int} "
                "tool=%{WORD:tool_name} msg=%{WORD:msg}")
     out = mutate(out, lowercase=["tool_name"])
-    return (out.withColumn("is_tool", (F.col("role") == "tool").cast("long"))
-               .withColumn("is_done", F.col("text").contains("task=done").cast("long")))
+    return session_flags_stage(out)
+
+
+def session_flags_stage(df: DataFrame) -> DataFrame:
+    """Just the two session-aggregation flags, NO parse.
+
+    The sessions branch consumes only (conv_id, ts, is_tool, is_done) —
+    none of grok's captures.  grok's packed-split sits behind a Generate
+    barrier (operators/grok.py), which column pruning cannot remove, so a
+    sessions branch built on parse_stage() would re-run the full regex
+    for columns it immediately discards (measured: soak steady throughput
+    2.26M -> 1.25M turns/s when the concurrent sessions query re-parsed
+    the source).  Branches that need no captures must not parse.
+    """
+    return (df.withColumn("is_tool", (F.col("role") == "tool").cast("long"))
+              .withColumn("is_done", F.col("text").contains("task=done").cast("long")))
 
 
 def session_rollup_stream(df: DataFrame, gap: str = "30 minutes",
@@ -207,12 +221,14 @@ def run_north_star(
                         .parquet(os.path.join(out_dir, "turns", "batch_id=*")))
             sessions = session_rollup_stream(sess_src, gap, watermark)
         else:
-            # continuous mode: independent second scan of the source
-            sessions = session_rollup_stream(parse_stage(
+            # continuous mode: independent second scan of the source.
+            # flags-only — the sessions branch uses no grok captures, and
+            # parsing here would re-run the regex (session_flags_stage)
+            sessions = session_rollup_stream(session_flags_stage(
                 stream_transcripts(spark, src_dir, max_files_per_trigger)),
                 gap, watermark)
     else:
-        sessions = session_rollup_stream(parse_stage(
+        sessions = session_rollup_stream(session_flags_stage(
             stream_transcripts(spark, src_dir, max_files_per_trigger)),
             gap, watermark)
 
