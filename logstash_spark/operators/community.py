@@ -55,7 +55,10 @@ def bytes_filter(
     base = (F.lit(1024.0) if conversion_method == "binary"
             else F.when(iec, 1024.0).otherwise(1000.0))
     ok = num != ""
-    value = F.round(num.try_cast("double") * F.pow(base, power)).cast("long")
+    # try_cast: values beyond BIGINT (e.g. "8192PiB") saturate to the long
+    # range instead of raising the ANSI overflow error a plain cast gives
+    # (found by the hypothesis suite)
+    value = F.round(num.try_cast("double") * F.pow(base, power)).try_cast("long")
     df = df.withColumn(target, F.when(ok, value))
     return add_tag(df, tag_on_failure, when=~F.coalesce(ok, F.lit(False)))
 

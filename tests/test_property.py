@@ -69,3 +69,78 @@ def test_kv_matches_dict_oracle(spark_prop, d):
     df = spark_prop.createDataFrame([Row(t=text)])
     out = kv(df, "t", target="parsed").collect()[0].parsed
     assert out == d
+
+
+# -- community filters (operators/community.py) ------------------------------
+
+_BYTES_ORACLE_RX = re.compile(
+    r"^\s*([0-9]*\.?[0-9]+)\s*(?:([KkMmGgTtPp])(i|I)?)?[Bb]?\s*$")
+
+
+def _bytes_oracle(s: str, method: str = "binary"):
+    m = _BYTES_ORACLE_RX.match(s)
+    if not m:
+        return None
+    num = float(m.group(1))
+    power = {"k": 1, "m": 2, "g": 3, "t": 4, "p": 5}.get(
+        (m.group(2) or "").lower(), 0)
+    base = 1024.0 if (method == "binary" or m.group(3)) else 1000.0
+    from decimal import Decimal, ROUND_HALF_UP
+    d = num * base ** power
+    r = float(Decimal(d).quantize(0, ROUND_HALF_UP))
+    # Spark double->long try_cast: range check compares against
+    # Long.MaxValue.toDouble (= 2^63 exactly, rounded up) -> values above
+    # 2^63 null out, 2^63 itself passes and the JVM (long) conversion
+    # saturates to MAX_VALUE
+    if r > float(2**63) or r < -float(2**63):
+        return None
+    v = int(Decimal(r).quantize(0, ROUND_HALF_UP))
+    return max(-(2**63), min(v, 2**63 - 1))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.decimals(min_value=0, max_value=10**6, places=2).map(str),
+    st.sampled_from(["", "b", "kb", "KB", " MB", "GiB", "tb", "PiB", "kib"]),
+    st.sampled_from(["binary", "metric"]),
+)
+def test_bytes_matches_python_oracle(spark_prop, num, unit, method):
+    from logstash_spark.operators.community import bytes_filter
+
+    s = f"{num}{unit}"
+    df = spark_prop.createDataFrame([Row(s=s)])
+    r = bytes_filter(df, "s", conversion_method=method).collect()[0]
+    assert r.bytes_value == _bytes_oracle(s, method)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_NOISE, st.lists(st.integers(-10**9, 10**9), max_size=4),
+       st.lists(st.decimals(min_value=-10**6, max_value=10**6,
+                            places=3).map(float), max_size=3))
+def test_extractnumbers_matches_re_oracle(spark_prop, noise, ints, floats):
+    from logstash_spark.operators.community import extractnumbers
+
+    text = noise + " " + " ".join(
+        [str(i) for i in ints] + [f"{f:.3f}" for f in floats])
+    float_rx = r"[+-]?\d+\.\d+"
+    want_floats = [float(x) for x in re.findall(float_rx, text, re.ASCII)]
+    cleaned = re.sub(float_rx, " ", text, flags=re.ASCII)
+    want_ints = [int(x) for x in re.findall(r"[+-]?\d+", cleaned, re.ASCII)]
+    df = spark_prop.createDataFrame([Row(t=text)])
+    r = extractnumbers(df, "t").collect()[0]
+    assert list(r.ints) == want_ints
+    assert list(r.floats) == want_floats
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-.",
+               min_size=1, max_size=30))
+def test_tld_matches_split_oracle(spark_prop, host):
+    from logstash_spark.operators.community import tld
+
+    parts = host.split(".")
+    df = spark_prop.createDataFrame([Row(h=host)])
+    r = tld(df, "h").collect()[0]
+    assert r.tld_tld == parts[-1]
+    assert r.tld_domain == (".".join(parts[-2:]) if len(parts) >= 2 else None)
+    assert r.tld_subdomain == (".".join(parts[:-2]) if len(parts) >= 3 else None)

@@ -543,3 +543,36 @@ def test_lscl_yaml_filter_and_es_output(spark, tmp_path):
     lines = [l.value for l in spark.read.text(es_path).collect()]
     actions = [json.loads(l) for l in lines if '"index"' in l]
     assert len(actions) == 5 and actions[0]["index"]["_index"] == "gen"
+
+
+def test_community_filters_streaming_legal(spark, stream_src, tmp_path):
+    """Community filters are stateless Columns -> streaming-legal as-is:
+    the same bytes/tld/alter/json_encode chain runs on a readStream and
+    matches its batch twin row-for-row."""
+    import pyspark.sql.functions as F
+    from logstash_spark.operators.community import (alter, bytes_filter,
+                                                    json_encode, tld)
+
+    def chain(df):
+        df = df.withColumn("size_str",
+                           F.concat(F.col("turn_idx").cast("string"),
+                                    F.lit("kb")))
+        df = df.withColumn("host", F.concat_ws(".", "role",
+                                               F.lit("example.com")))
+        df = bytes_filter(df, "size_str")
+        df = tld(df, "host")
+        df = json_encode(df, "role", target="jrole")
+        df = alter(df, coalesce={"tool2": ["tool", "role"]})
+        return df.select("conv_id", "turn_idx", "bytes_value",
+                         "tld_domain", "jrole", "tool2")
+
+    out = str(tmp_path / "comm")
+    q = (chain(J.stream_transcripts(spark, stream_src))
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "commck"))
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    exp = {tuple(r) for r in chain(spark.read.parquet(stream_src)).collect()}
+    assert got == exp and got
