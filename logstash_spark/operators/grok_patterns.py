@@ -112,6 +112,19 @@ PATTERNS: dict[str, str] = {
     "SYSLOG5424PRI": r"<%{NONNEGINT}>",
     "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
     "SYSLOGLINE": r"%{SYSLOGBASE} %{GREEDYDATA:message}",
+    # RFC5424 structured syslog (public grok-patterns core)
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424SD": r"\[%{DATA}\]+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_app}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_proc}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_msgid}|-) +"
+        r"(?:%{SYSLOG5424SD:syslog5424_sd}|-|)"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
     # --- apache / httpd -------------------------------------------------------------------------
     "COMMONAPACHELOG": (
         r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '

@@ -472,3 +472,29 @@ def test_lookup_enrichment_operator(spark):
     assert got[1] == ("code", "high", False)
     assert got[2] == ("other", None, True)
     assert got[3] == ("other", None, True)
+
+
+def test_grok_syslog5424_composite(spark):
+    from logstash_spark.operators.grok import grok
+    from pyspark.sql import Row
+
+    line = ('<165>1 2024-08-17T05:14:15.000003Z mymachine.example.com '
+            'evntslog 1234 ID47 [exampleSDID@32473 iut="3"] '
+            'BOMAn application event log entry')
+    nil = '<34>1 2024-08-17T05:14:15Z host app - - - cold start'
+    df = spark.createDataFrame([Row(t=line), Row(t=nil), Row(t="junk")])
+    rows = {r.t[:5]: r for r in grok(df, "t", "%{SYSLOG5424LINE}").collect()}
+    r = rows["<165>"]
+    assert not r.tags
+    assert r.syslog5424_ver == "1"
+    assert r.syslog5424_host == "mymachine.example.com"
+    assert r.syslog5424_app == "evntslog"
+    assert r.syslog5424_proc == "1234"
+    assert r.syslog5424_msgid == "ID47"
+    assert r.syslog5424_sd == '[exampleSDID@32473 iut="3"]'
+    assert r.syslog5424_msg == "BOMAn application event log entry"
+    n = rows["<34>1"]
+    assert not n.tags
+    assert n.syslog5424_host == "host" and n.syslog5424_sd is None
+    assert n.syslog5424_msg == "cold start"
+    assert "_grokparsefailure" in rows["junk"].tags
