@@ -223,12 +223,22 @@ def translate(df: DataFrame, source: str, dictionary: dict[str, str],
 
     Small dicts inline as a `map` literal (pure expression); larger ones
     should use translate_join below.  `fallback` fills misses.
+
+    ``exact=False`` = the plugin's `regex => true` mode: keys are regexes
+    tried in dictionary order, first match wins — compiled to a chained
+    CASE WHEN rlike (still one codegen stage, no Python).
     """
-    pairs = []
-    for k, v in dictionary.items():
-        pairs += [F.lit(k), F.lit(v)]
-    m = F.create_map(*pairs)
-    looked = m[F.col(source).cast("string")]
+    if not exact:
+        looked = F.lit(None).cast("string")
+        src = F.col(source).cast("string")
+        for k, v in reversed(list(dictionary.items())):
+            looked = F.when(src.rlike(k), F.lit(v)).otherwise(looked)
+    else:
+        pairs = []
+        for k, v in dictionary.items():
+            pairs += [F.lit(k), F.lit(v)]
+        m = F.create_map(*pairs)
+        looked = m[F.col(source).cast("string")]
     if fallback is not None:
         looked = F.coalesce(looked, F.lit(fallback))
     return df.withColumn(target, looked)

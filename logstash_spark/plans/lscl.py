@@ -503,7 +503,8 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             return translate(df, a.get("source", a.get("field")),
                              a["dictionary"],
                              a.get("target", "translation"),
-                             fallback=a.get("fallback"))
+                             fallback=a.get("fallback"),
+                             exact=not a.get("regex", False))
         if name == "prune":
             from logstash_spark.operators.misc import prune
             return prune(df, whitelist=a.get("whitelist_names"),

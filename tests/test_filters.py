@@ -498,3 +498,17 @@ def test_grok_syslog5424_composite(spark):
     assert n.syslog5424_host == "host" and n.syslog5424_sd is None
     assert n.syslog5424_msg == "cold start"
     assert "_grokparsefailure" in rows["junk"].tags
+
+
+def test_translate_regex_mode_first_match_wins(spark):
+    from logstash_spark.operators.misc import translate
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(s="ERROR disk full"), Row(s="error minor"),
+                                Row(s="warning"), Row(s="ok")])
+    out = translate(df, "s", {"^ERROR": "crit", "(?i)error": "err",
+                              "warn": "warn"},
+                    target="level", fallback="none", exact=False)
+    got = {r.s: r.level for r in out.collect()}
+    assert got == {"ERROR disk full": "crit",   # first key wins over (?i)error
+                   "error minor": "err", "warning": "warn", "ok": "none"}
