@@ -91,14 +91,21 @@ def extract_features(media: DataFrame, fake: bool = True,
         import pandas as pd
 
         for pdf in it:
-            feats = [decode_stub(p, fake) for p in pdf["payload"]]
-            shas = [hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "mime": pdf["mime"],
-                "feat": feats,
-                "payload_sha": shas,
-            })
+            # re-chunk to batch_target_rows: Arrow ships whatever batch
+            # size the scan produced, and with multi-MB payloads a big
+            # batch would hold (rows x payload) in memory at once —
+            # bounding the slice bounds peak executor memory
+            for lo in range(0, len(pdf), batch_target_rows):
+                chunk = pdf.iloc[lo:lo + batch_target_rows]
+                feats = [decode_stub(p, fake) for p in chunk["payload"]]
+                shas = [hashlib.sha256(p or b"").hexdigest()
+                        for p in chunk["payload"]]
+                yield pd.DataFrame({
+                    "media_id": chunk["media_id"],
+                    "mime": chunk["mime"],
+                    "feat": feats,
+                    "payload_sha": shas,
+                })
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 

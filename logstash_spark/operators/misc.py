@@ -24,26 +24,34 @@ from pyspark.sql.functions import broadcast
 
 # -- fingerprint (meta:135; docs core-operations.md:41-55) -------------------
 
+def _hash_col(base: Column, method: str) -> Column:
+    method = method.upper()
+    if method == "SHA256":
+        return F.sha2(base, 256)
+    if method == "SHA1":
+        return F.sha1(base)
+    if method == "MD5":
+        return F.md5(base)
+    if method == "MURMUR3":
+        return F.hash(base).cast("string")
+    if method == "XX64":
+        return F.xxhash64(base).cast("string")
+    raise ValueError(f"unsupported hash method {method}")
+
+
 def fingerprint(df: DataFrame, sources: list[str], target: str = "fingerprint",
                 method: str = "SHA256", key: str | None = None,
                 concatenate_sources: bool = True) -> DataFrame:
-    base = F.concat_ws("|", *[F.col(s).cast("string") for s in sources])
+    if concatenate_sources:
+        base = F.concat_ws("|", *[F.col(s).cast("string") for s in sources])
+    else:
+        # plugin semantics without concatenate_sources: each source is
+        # fingerprinted into target in turn, so the LAST source's hash is
+        # what survives (Fingerprint filter README's documented footgun)
+        base = F.col(sources[-1]).cast("string")
     if key:
         base = F.concat(F.lit(key), F.lit("|"), base)
-    method = method.upper()
-    if method == "SHA256":
-        col = F.sha2(base, 256)
-    elif method == "SHA1":
-        col = F.sha1(base)
-    elif method == "MD5":
-        col = F.md5(base)
-    elif method == "MURMUR3":
-        col = F.hash(base).cast("string")
-    elif method == "XX64":
-        col = F.xxhash64(base).cast("string")
-    else:
-        raise ValueError(f"unsupported fingerprint method {method}")
-    return df.withColumn(target, col)
+    return df.withColumn(target, _hash_col(base, method))
 
 
 # -- uuid (in-core Uuid.java:40-70) ------------------------------------------
@@ -76,7 +84,8 @@ def uuid_filter(df: DataFrame, target: str = "uuid", overwrite: bool = False,
 def anonymize(df: DataFrame, fields: list[str], key: str = "secret",
               method: str = "SHA256") -> DataFrame:
     for f in fields:
-        df = df.withColumn(f, F.sha2(F.concat(F.lit(key), F.col(f).cast("string")), 256))
+        df = df.withColumn(
+            f, _hash_col(F.concat(F.lit(key), F.col(f).cast("string")), method))
     return df
 
 

@@ -512,3 +512,17 @@ def test_translate_regex_mode_first_match_wins(spark):
     got = {r.s: r.level for r in out.collect()}
     assert got == {"ERROR disk full": "crit",   # first key wins over (?i)error
                    "error minor": "err", "warning": "warn", "ok": "none"}
+
+
+def test_fingerprint_concatenate_sources_false(spark):
+    import hashlib
+    from logstash_spark.operators.misc import anonymize, fingerprint
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(a="x", b="y")])
+    r = fingerprint(df, ["a", "b"], concatenate_sources=False).collect()[0]
+    assert r.fingerprint == hashlib.sha256(b"y").hexdigest()  # last source
+    r2 = fingerprint(df, ["a", "b"], method="MD5").collect()[0]
+    assert r2.fingerprint == hashlib.md5(b"x|y").hexdigest()
+    r3 = anonymize(df, ["a"], key="k", method="MD5").collect()[0]
+    assert r3.a == hashlib.md5(b"kx").hexdigest()
