@@ -26,16 +26,41 @@ def kv(
     value_split: str = "=",
     target: str = "kv",
     include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    prefix: str = "",
+    trim_key: str | None = None,
+    trim_value: str | None = None,
+    transform_key: str | None = None,
+    transform_value: str | None = None,
 ) -> DataFrame:
     """k=v pair extraction into a map column (+ optional promoted columns).
 
     `include_keys` promotes selected keys to top-level string columns, the
-    common relational usage; the full map lands in `target`.
+    common relational usage; the full map lands in `target`.  The plugin's
+    shaping options map to pure map expressions (kv filter README):
+    trim_key/trim_value strip the given chars from both ends (btrim);
+    transform_key/transform_value apply lowercase/uppercase/capitalize;
+    exclude_keys drops entries (map_filter); prefix renames every key.
+    Applied in the plugin's order: trim -> transform -> exclude -> prefix.
     """
+    _XFORM = {"lowercase": F.lower, "uppercase": F.upper,
+              "capitalize": F.initcap}
     m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    if trim_key:
+        m = F.transform_keys(m, lambda k, v: F.btrim(k, F.lit(trim_key)))
+    if trim_value:
+        m = F.transform_values(m, lambda k, v: F.btrim(v, F.lit(trim_value)))
+    if transform_key:
+        m = F.transform_keys(m, lambda k, v: _XFORM[transform_key](k))
+    if transform_value:
+        m = F.transform_values(m, lambda k, v: _XFORM[transform_value](v))
+    if exclude_keys:
+        m = F.map_filter(m, lambda k, v: ~k.isin(exclude_keys))
+    if prefix:
+        m = F.transform_keys(m, lambda k, v: F.concat(F.lit(prefix), k))
     df = df.withColumn(target, m)
     for k in include_keys or []:
-        df = df.withColumn(k, F.element_at(F.col(target), k))
+        df = df.withColumn(k, F.element_at(F.col(target), prefix + k))
     return df
 
 

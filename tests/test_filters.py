@@ -526,3 +526,16 @@ def test_fingerprint_concatenate_sources_false(spark):
     assert r2.fingerprint == hashlib.md5(b"x|y").hexdigest()
     r3 = anonymize(df, ["a"], key="k", method="MD5").collect()[0]
     assert r3.a == hashlib.md5(b"kx").hexdigest()
+
+
+def test_kv_shaping_options(spark):
+    from logstash_spark.operators.parsers import kv
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(s='"USER"=alice  PASS=s3cret  X=1')])
+    out = kv(df, "s", field_split="  ", value_split="=",
+             trim_key='"', transform_key="lowercase",
+             exclude_keys=["pass"], prefix="kv_",
+             include_keys=["user"]).collect()[0]
+    assert out.kv == {"kv_user": "alice", "kv_x": "1"}
+    assert out.user == "alice"
