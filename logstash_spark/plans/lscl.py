@@ -464,7 +464,13 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             return kv(df, a.get("source", "message"),
                       field_split=a.get("field_split", " "),
                       value_split=a.get("value_split", "="),
-                      include_keys=a.get("include_keys"))
+                      include_keys=a.get("include_keys"),
+                      exclude_keys=a.get("exclude_keys"),
+                      prefix=a.get("prefix", ""),
+                      trim_key=a.get("trim_key"),
+                      trim_value=a.get("trim_value"),
+                      transform_key=a.get("transform_key"),
+                      transform_value=a.get("transform_value"))
         if name == "csv":
             from logstash_spark.operators.parsers import csv_filter
             return csv_filter(df, a.get("source", "message"), a["columns"],
