@@ -217,6 +217,48 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+# 6b. IVF with nprobe=2 (recall-vs-cost knob) -------------------------------------
+
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_nprobe(spark, sf_dir):
+    from logstash_spark.datahub.similarity import ivf_topk
+
+    ed = _emb_double(spark, sf_dir)
+    centroids = (ed.filter(F.pmod("vec_id", F.lit(CENTROID_STEP)) == 0)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = (ed.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(ed, queries, centroids, k=TOPK_K, nprobe=IVF_NPROBE)
+
+
+ORACLE_ANN_IVF_NPROBE = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                      c.centroid_id ASC) AS rn
+  FROM embeddings e, c),
+assigned AS (SELECT vec_id, v, centroid_id FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+      FROM assign WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.centroid_id, a.vec_id,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM q JOIN assigned a
+    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, centroid_id, vec_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 # 7. language ID --------------------------------------------------------------------
 
 def q_lang_id(spark, sf_dir):
@@ -435,6 +477,7 @@ DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "ann_ivf_nprobe": (q_ann_ivf_nprobe, ORACLE_ANN_IVF_NPROBE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN_LSH),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_quality": (q_quality, ORACLE_QUALITY),

@@ -57,9 +57,11 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 def assign_centroids(vectors: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     cid_col: str = "centroid_id") -> DataFrame:
-    """IVF assignment: nearest centroid by cosine (argmax).  Centroids are
-    broadcast; argmax via row_number over (vec, score desc)."""
+                     cid_col: str = "centroid_id", n: int = 1) -> DataFrame:
+    """IVF assignment: nearest n centroids by cosine (argmax for n=1).
+    Centroids are broadcast; ranking via row_number over (vec, score
+    desc).  n>1 multiplies rows (one per probed bucket) — used for the
+    query side of nprobe>1 search."""
     c = F.broadcast(centroids.select(F.col(cid_col),
                                      F.col(vec_col).alias("__cv")))
     scored = (
@@ -70,20 +72,24 @@ def assign_centroids(vectors: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc(cid_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n)
         .select(id_col, vec_col, cid_col)
     )
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id", cid_col: str = "centroid_id") -> DataFrame:
-    """Approximate top-k: search only vectors sharing the query's centroid
-    bucket (nprobe=1)."""
+             qid_col: str = "query_id", cid_col: str = "centroid_id",
+             nprobe: int = 1) -> DataFrame:
+    """Approximate top-k: search only vectors in the query's nprobe
+    nearest centroid buckets.  The corpus is bucketed once (nprobe always
+    1 on the corpus side); raising nprobe fans each query out to more
+    buckets — recall rises, cost per query scales with nprobe/#centroids,
+    and the corpus is never rescanned or reshuffled."""
     assigned = assign_centroids(vectors, centroids, id_col, vec_col, cid_col)
     q_assigned = assign_centroids(
         queries.withColumnRenamed(qid_col, id_col), centroids,
-        id_col, vec_col, cid_col,
+        id_col, vec_col, cid_col, n=nprobe,
     ).withColumnRenamed(id_col, qid_col)
     q = q_assigned.select(qid_col, F.col(vec_col).alias("__qv"), cid_col)
     scored = (

@@ -133,3 +133,27 @@ def test_corpus_clean_keeps_first_english_quality(docs, spark):
     assert 1 in kept and 2 not in kept     # dup keeps min doc_id
     assert 6 not in kept and 7 not in kept
     assert set(out.columns) >= {"doc_id", "pred_lang", "quality"}
+
+
+def test_ivf_nprobe_raises_recall(spark, sf_dir):
+    from logstash_spark.datahub.similarity import brute_force_topk, ivf_topk
+
+    ed = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .select("vec_id", F.transform("embedding",
+                                        lambda x: x.cast("double"))
+                  .alias("embedding")))
+    cents = (ed.filter(F.col("vec_id") % 29 == 0)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qs = (ed.filter(F.col("vec_id") < 6)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    truth = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(ed, qs, k=5).collect()}
+
+    def recall(nprobe):
+        got = {(r.query_id, r.vec_id)
+               for r in ivf_topk(ed, qs, cents, k=5, nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1           # more probes never lose recall
+    assert r3 > 0.4           # and find a reasonable share of true neighbors
