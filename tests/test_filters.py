@@ -539,3 +539,27 @@ def test_kv_shaping_options(spark):
              include_keys=["user"]).collect()[0]
     assert out.kv == {"kv_user": "alice", "kv_x": "1"}
     assert out.user == "alice"
+
+
+def test_bucketed_join_has_no_exchange(spark, transcripts, tmp_path):
+    """Bucketed tables on the same key+count join WITHOUT a shuffle —
+    the persisted-partitioning evidence for repeated conv_id joins."""
+    from logstash_spark.plans.bucketing import (join_is_shuffle_free,
+                                                write_bucketed)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = transcripts.select("conv_id", "turn_idx", "role")
+        right = (transcripts.groupBy("conv_id")
+                 .agg(F.count("*").alias("n_turns")))
+        write_bucketed(left, "bkt_turns", "conv_id", buckets=8)
+        write_bucketed(right, "bkt_convs", "conv_id", buckets=8)
+        assert join_is_shuffle_free(spark, "bkt_turns", "bkt_convs", "conv_id")
+        # sanity: same join on unbucketed data DOES shuffle
+        plain = left.join(right, "conv_id")
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_turns")
+        spark.sql("DROP TABLE IF EXISTS bkt_convs")
