@@ -576,3 +576,38 @@ def test_community_filters_streaming_legal(spark, stream_src, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     exp = {tuple(r) for r in chain(spark.read.parquet(stream_src)).collect()}
     assert got == exp and got
+
+
+def test_session_rollup_under_rocksdb_state_store(spark, stream_src, tmp_path):
+    """State beyond heap: the identical session job runs under the
+    RocksDB state-store provider (state spills to native memory + local
+    disk — the 10^12-turn state-scaling path) and emits exactly the rows
+    the default HDFS-backed provider emits."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+
+    def run(tag, provider=None):
+        old = spark.conf.get(provider_conf, None)
+        if provider:
+            spark.conf.set(provider_conf, provider)
+        try:
+            out = str(tmp_path / f"o{tag}")
+            q = (J.session_rollup_stream(
+                    J.session_flags_stage(J.stream_transcripts(spark, stream_src)))
+                 .writeStream.outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / f"c{tag}"))
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return {tuple(r) for r in spark.read.parquet(out).collect()}
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(provider_conf)
+                else:
+                    spark.conf.set(provider_conf, old)
+
+    default_rows = run("hdfs")
+    rocks_rows = run("rocks", rocks)
+    assert rocks_rows == default_rows and rocks_rows
