@@ -29,7 +29,10 @@ _FIELD = re.compile(r"%\{([^}]*)\}")
 
 class CompiledDissect:
     def __init__(self, mapping: str):
-        self.fields: list[str] = []          # emitted field per group index
+        # one entry per capture GROUP, in group order:
+        # (field, is_append, order, preceding_literal)
+        self.captures: list[tuple[str, bool, int, str]] = []
+        self.fields: list[str] = []          # unique emitted fields, in order
         parts: list[str] = ["^"]
         pos = 0
         matches = list(_FIELD.finditer(mapping))
@@ -44,7 +47,20 @@ class CompiledDissect:
             if name == "" or name.startswith("?"):
                 parts.append(body.replace("(", "(?:", 1))
             else:
-                self.fields.append(name.lstrip("+"))
+                if name.startswith("&"):
+                    raise ValueError(
+                        "dissect %{&field} indirect keys need per-row dynamic "
+                        "column names — not expressible in a static DataFrame "
+                        "schema (use kv for dynamic key/value payloads)")
+                append = name.startswith("+")
+                base = name.lstrip("+")
+                order = 0
+                if "/" in base:                     # %{+field/2} ordering
+                    base, _, o = base.partition("/")
+                    order = int(o)
+                self.captures.append((base, append, order, lit))
+                if base not in self.fields:
+                    self.fields.append(base)
                 parts.append(body)
         tail = mapping[pos:]
         if tail:
@@ -53,7 +69,11 @@ class CompiledDissect:
         self.regex = "".join(parts)
 
     def group_of(self, field: str) -> int:
-        return self.fields.index(field) + 1
+        """First capture group emitting `field` (1-based)."""
+        for i, (base, _a, _o, _l) in enumerate(self.captures):
+            if base == field:
+                return i + 1
+        raise KeyError(field)
 
 
 def dissect(
@@ -76,7 +96,7 @@ def dissect(
     # per-group regexp_extract path so the packing can't be confused.
     DELIM = "\x1e"
     rx = f"(?s){d.regex}"
-    repl = DELIM + DELIM.join(f"${d.group_of(f)}" for f in d.fields)
+    repl = DELIM + DELIM.join(f"${i + 1}" for i in range(len(d.captures)))
     # Materialize packed/parts/ok as real columns (see grok.grok): inline,
     # they'd sit only under CASE WHEN branches where codegen does no common-
     # subexpression elimination, re-running the regex once per field.
@@ -86,8 +106,8 @@ def dissect(
     # projection) but never pushes a predicate referencing a generator
     # output past its Generate.  See grok.grok for the measured cost.
     has_delim = F.coalesce(src.contains(DELIM), F.lit(False))
-    # n emitted fields -> n+1 split parts; zero -> lone DELIM -> 2 parts
-    n = len(d.fields) or 1
+    # n capture groups -> n+1 split parts; zero -> lone DELIM -> 2 parts
+    n = len(d.captures) or 1
     df = df.withColumn(
         "__dis_parts",
         F.explode(F.array(F.split(F.regexp_replace(src, rx, repl), DELIM, -1))))
@@ -97,11 +117,23 @@ def dissect(
         "__dis_ok",
         src.isNotNull() & F.when(has_delim, src.rlike(rx)).otherwise(ok_packed))
     ok = F.col("__dis_ok")
-    cols = {}
-    for i, f in enumerate(d.fields):
+
+    def raw(i: int):                        # capture group i (0-based)
         fast = F.element_at(arr, i + 2)
-        slow = F.regexp_extract(src, rx, d.group_of(f))
-        col = F.when(has_delim, slow).otherwise(fast)
+        slow = F.regexp_extract(src, rx, i + 1)
+        return F.when(has_delim, slow).otherwise(fast)
+
+    cols = {}
+    for f in d.fields:
+        # %{+field} append semantics (field-extraction.md): pieces join in
+        # /order (stable on appearance for ties), separated by the literal
+        # delimiter that precedes each appended piece
+        pieces = [(i, order, lit) for i, (base, _a, order, lit)
+                  in enumerate(d.captures) if base == f]
+        pieces.sort(key=lambda t: (t[1], t[0]))
+        col = raw(pieces[0][0])
+        for i, _order, lit in pieces[1:]:
+            col = F.concat(col, F.lit(lit), raw(i))
         col = F.when(ok & (col != ""), col)
         cast = (convert or {}).get(f)
         if cast:

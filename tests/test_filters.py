@@ -563,3 +563,34 @@ def test_bucketed_join_has_no_exchange(spark, transcripts, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_turns")
         spark.sql("DROP TABLE IF EXISTS bkt_convs")
+
+
+def test_dissect_append_notation(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.dissect import dissect
+
+    df = spark.createDataFrame(
+        [Row(t="Mar 16 00:01:25 host prog[42]: hello world")])
+    r = dissect(df, "t",
+                "%{ts} %{+ts} %{+ts} %{src} %{prog}[%{pid}]: %{msg}"
+                ).collect()[0]
+    assert r.ts == "Mar 16 00:01:25"
+    assert r.src == "host" and r.prog == "prog" and r.pid == "42"
+    assert r.msg == "hello world"
+
+
+def test_dissect_append_order(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.dissect import dissect
+
+    df = spark.createDataFrame([Row(t="b c a")])
+    r = dissect(df, "t", "%{+f/2} %{+f/3} %{+f/1}").collect()[0]
+    assert r.f == "ab c"          # /1 first, joined by preceding delimiters
+
+
+def test_dissect_indirect_rejected(spark):
+    import pytest as _pytest
+    from logstash_spark.operators.dissect import CompiledDissect
+
+    with _pytest.raises(ValueError, match="indirect"):
+        CompiledDissect("%{k} %{&k}")
