@@ -135,7 +135,7 @@ class CompiledGrok:
 def grok(
     df: DataFrame,
     source: str,
-    template: str,
+    template: str | list[str],
     patterns: dict[str, str] | None = None,
     tag_on_failure: str = "_grokparsefailure",
     keep_unmatched: bool = True,
@@ -146,11 +146,20 @@ def grok(
     Matches reference behavior: unmatched events pass through with the
     failure tag and null capture columns.
 
+    A LIST template is the plugin's pattern-list form (`match => {f =>
+    [p1, p2]}` with default break_on_match): patterns try in order, the
+    first match supplies the captures.  Later patterns' packed regexes
+    are guarded behind "no earlier pattern matched", so the common fully-
+    matching row pays ONE regex pass, like the reference's short-circuit.
+
     ``single_pass=True`` packs all captures into one regex pass; rows whose
     source contains the packing sentinel (\\x1e) automatically fall back to
     the per-group path, so results are identical either way.
     ``single_pass=False`` forces the per-group regexp_extract path.
     """
+    if isinstance(template, (list, tuple)):
+        return _grok_multi(df, source, list(template), patterns,
+                           tag_on_failure, keep_unmatched, single_pass)
     g = CompiledGrok(template, patterns)
     src = F.col(source)
     if single_pass:
@@ -211,3 +220,78 @@ def grok(
     if not keep_unmatched:
         df = df.filter(ok)
     return df
+
+
+def _grok_multi(
+    df: DataFrame,
+    source: str,
+    templates: list[str],
+    patterns: dict[str, str] | None,
+    tag_on_failure: str,
+    keep_unmatched: bool,
+    single_pass: bool,
+) -> DataFrame:
+    """Pattern-list grok (break_on_match): first matching template wins.
+
+    Each template gets its own packed-split column, GUARDED by "no earlier
+    template matched" — a row that matches template 1 never evaluates
+    template 2's regex (the guard nulls the input to the later packed
+    expression), mirroring the reference's per-row short-circuit while
+    staying fully columnar.
+    """
+    src = F.col(source)
+    gs = [CompiledGrok(t, patterns) for t in templates]
+    helper_cols: list[str] = []
+    ok_cols: list[Column] = []
+    per_pattern_vals: list[dict[str, Column]] = []
+
+    for j, g in enumerate(gs):
+        n = len(g.captures) or 1
+        prev_unmatched = F.lit(True)
+        for prior in ok_cols:
+            prev_unmatched = prev_unmatched & ~prior
+        has_delim = (F.lit(True) if not single_pass
+                     else F.coalesce(src.contains(g.DELIM), F.lit(False)))
+        parts_name, ok_name = f"__gm{j}_parts", f"__gm{j}_ok"
+        guarded = F.when(prev_unmatched & ~has_delim,
+                         F.split(g.packed_col(src), g.DELIM, -1))
+        # explode(array()) Generate barrier — same rationale as grok()
+        df = df.withColumn(parts_name, F.explode(F.array(guarded)))
+        parts = F.col(parts_name)
+        ok_packed = F.coalesce(
+            src.isNotNull() & (F.size(parts) == n + 1)
+            & (F.element_at(parts, 1) == ""), F.lit(False))
+        df = df.withColumn(
+            ok_name,
+            F.when(has_delim, prev_unmatched & g.matched(src))
+             .otherwise(ok_packed))
+        ok_j = F.col(ok_name)
+        vals = {}
+        for i, (field, cast) in enumerate(g.captures):
+            raw = F.element_at(parts, i + 2)
+            raw = F.when(ok_j & ~has_delim & (raw != ""), raw)
+            slow = F.when(ok_j, g.extract(src, field))
+            val = F.when(has_delim, slow).otherwise(raw)
+            vals[field] = val.cast(cast) if cast else val
+        per_pattern_vals.append(vals)
+        helper_cols += [parts_name, ok_name]
+        ok_cols.append(ok_j)
+
+    fields: list[str] = []
+    for g in gs:
+        for f, _ in g.captures:
+            if f not in fields:
+                fields.append(f)
+    cols = {}
+    for f in fields:
+        candidates = [vals[f] for vals in per_pattern_vals if f in vals]
+        cols[f] = candidates[0] if len(candidates) == 1 else F.coalesce(*candidates)
+    df = df.withColumns(cols)
+
+    any_ok = ok_cols[0]
+    for o in ok_cols[1:]:
+        any_ok = any_ok | o
+    df = add_tag(df, tag_on_failure, when=~any_ok)
+    if not keep_unmatched:
+        df = df.filter(any_ok)
+    return df.drop(*helper_cols)

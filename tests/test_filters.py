@@ -594,3 +594,47 @@ def test_dissect_indirect_rejected(spark):
 
     with _pytest.raises(ValueError, match="indirect"):
         CompiledDissect("%{k} %{&k}")
+
+
+def test_grok_pattern_list_break_on_match(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([
+        Row(t="status=404 took=12"),
+        Row(t="level=warn msg=slow"),
+        Row(t="neither matches"),
+    ])
+    out = grok(df, "t", ["status=%{INT:status:int} took=%{INT:took:int}",
+                         "level=%{WORD:level} msg=%{WORD:msg}"])
+    rows = {r.t[:6]: r for r in out.collect()}
+    a = rows["status"]
+    assert a.status == 404 and a.took == 12 and a.level is None and not a.tags
+    b = rows["level="]
+    assert b.level == "warn" and b.msg == "slow" and b.status is None and not b.tags
+    assert "_grokparsefailure" in rows["neithe"].tags
+
+
+def test_grok_pattern_list_shared_field_first_wins(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(t="x=1 y=2")])
+    r = grok(df, "t", ["x=%{INT:v:int} y=%{INT:w:int}",
+                       "y=%{INT:v:int}"]).collect()[0]
+    assert r.v == 1 and r.w == 2          # first pattern wins for v
+
+
+def test_lscl_grok_pattern_list(spark):
+    from pyspark.sql import Row
+    from logstash_spark.plans.lscl import compile_lscl
+
+    pipe = compile_lscl('''
+    filter {
+      grok { match => { "t" => ["a=%{INT:a:int}", "b=%{INT:b:int}"] } }
+    }
+    ''')
+    df = spark.createDataFrame([Row(t="a=5"), Row(t="b=7")])
+    rows = {r.t: r for r in pipe.apply(df).collect()}
+    assert rows["a=5"].a == 5 and rows["a=5"].b is None
+    assert rows["b=7"].b == 7 and not rows["b=7"].tags
