@@ -71,11 +71,18 @@ def csv_filter(
     separator: str = ",",
     types: dict[str, str] | None = None,
     target: str | None = None,
+    quote_char: str = '"',
+    skip_empty_columns: bool = False,
 ) -> DataFrame:
     """Parse a delimited line into named columns via from_csv (JVM parser,
-    quote-aware — unlike a naive split)."""
+    quote-aware — unlike a naive split).  `quote_char` and
+    `skip_empty_columns` map to the plugin's options of the same names
+    (empty-column skip = treat "" as null, from_csv's emptyValue)."""
     schema = ", ".join(f"`{c}` {((types or {}).get(c, 'string')).upper()}" for c in columns)
-    parsed = F.from_csv(F.col(source), schema, {"sep": separator})
+    opts = {"sep": separator, "quote": quote_char}
+    if skip_empty_columns:
+        opts["nullValue"] = ""      # "" columns parse as null, not ""
+    parsed = F.from_csv(F.col(source), schema, opts)
     if target:
         return df.withColumn(target, parsed)
     for c in columns:

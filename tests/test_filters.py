@@ -638,3 +638,13 @@ def test_lscl_grok_pattern_list(spark):
     rows = {r.t: r for r in pipe.apply(df).collect()}
     assert rows["a=5"].a == 5 and rows["a=5"].b is None
     assert rows["b=7"].b == 7 and not rows["b=7"].tags
+
+
+def test_csv_quote_and_empty_options(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.parsers import csv_filter
+
+    df = spark.createDataFrame([Row(s="'a,b';;3")])
+    r = csv_filter(df, "s", ["x", "y", "z"], separator=";",
+                   quote_char="'", skip_empty_columns=True).collect()[0]
+    assert r.x == "a,b" and r.y is None and r.z == "3"
