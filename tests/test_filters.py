@@ -648,3 +648,19 @@ def test_csv_quote_and_empty_options(spark):
     r = csv_filter(df, "s", ["x", "y", "z"], separator=";",
                    quote_char="'", skip_empty_columns=True).collect()[0]
     assert r.x == "a,b" and r.y is None and r.z == "3"
+
+
+def test_batch_filter_custom_code_escape_hatch(spark):
+    """ruby-filter analog: vectorized batch function, may change row count."""
+    from pyspark.sql import Row
+    from logstash_spark.operators.custom import batch_filter
+
+    df = spark.createDataFrame([Row(n=1), Row(n=2), Row(n=3)])
+
+    def double_evens(pdf):
+        out = pdf[pdf["n"] % 2 == 0].copy()
+        out["n2"] = out["n"] * 2
+        return out
+
+    rows = batch_filter(df, double_evens, "n long, n2 long").collect()
+    assert [(r.n, r.n2) for r in rows] == [(2, 4)]
