@@ -123,3 +123,41 @@ def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFra
     return (df.withColumn(f"{target_prefix}name", F.coalesce(name, F.lit("Other")))
               .withColumn(f"{target_prefix}version", version)
               .withColumn(f"{target_prefix}os", os_name))
+
+
+def dns_filter(df: DataFrame, source: str, records: DataFrame,
+               action: str = "replace", target: str | None = None,
+               reverse: bool = False,
+               tag_on_failure: str = "_dnsfailure") -> DataFrame:
+    """dns filter analog (plugin logstash-filter-dns, meta:113).
+
+    Per-event DNS RPC is an anti-pattern at 100 TB (SURVEY §2.3); the
+    Spark-native shape is a broadcast join against a resolver SNAPSHOT —
+    `records` carries (name, address); the production feed is a zone
+    export / recursive-resolver cache dump refreshed out-of-band, exactly
+    how jdbc_static snapshots its database.
+
+    ``reverse=False``: resolve hostnames -> addresses; ``reverse=True``:
+    addresses -> names.  ``action="replace"`` overwrites `source` (plugin
+    default), ``"append"`` writes to `target` keeping the original.
+    Misses keep the original value and tag `_dnsfailure` (plugin's
+    failed-lookup behavior).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from logstash_spark.functions.decorators import add_tag
+
+    key, val = ("address", "name") if reverse else ("name", "address")
+    dim = broadcast(records.select(F.col(key).alias("__dns_k"),
+                                   F.col(val).alias("__dns_v")))
+    out = df.join(dim, F.col(source) == F.col("__dns_k"), "left")
+    hit = F.col("__dns_v").isNotNull()
+    if action == "replace":
+        out = out.withColumn(source, F.coalesce(F.col("__dns_v"),
+                                                F.col(source)))
+    elif action == "append":
+        out = out.withColumn(target or f"{source}_resolved", F.col("__dns_v"))
+    else:
+        raise ValueError(f"dns: action must be replace|append, got {action!r}")
+    out = add_tag(out, tag_on_failure, when=~hit)
+    return out.drop("__dns_k", "__dns_v")

@@ -249,3 +249,19 @@ def test_jdbc_static_and_named_lookups(spark):
                               dim.withColumnRenamed("login", "_id"),
                               ["dept"])
     assert {r.dept for r in es.collect()} == {"eng", "ops", None}
+
+
+def test_dns_filter_snapshot_join(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.enrich import dns_filter
+
+    df = spark.createDataFrame([Row(h="db.example.com"), Row(h="unknown.host")])
+    records = spark.createDataFrame([Row(name="db.example.com", address="10.0.0.5")])
+    got = {(r.h, "_dnsfailure" in (r.tags or []))
+           for r in dns_filter(df, "h", records).collect()}
+    assert got == {("10.0.0.5", False), ("unknown.host", True)}
+    # reverse + append
+    rev = dns_filter(
+        spark.createDataFrame([Row(ip="10.0.0.5")]), "ip", records,
+        action="append", target="host", reverse=True).collect()[0]
+    assert rev.ip == "10.0.0.5" and rev.host == "db.example.com"
