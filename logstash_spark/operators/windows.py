@@ -203,3 +203,37 @@ def metrics_rates(df: DataFrame, ts_col: str, keys: list[str],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def metrics_ewma(df: DataFrame, ts_col: str, keys: list[str],
+                 interval: str = "5 seconds", alpha: float = 0.3,
+                 rate_col: str = "rate_ewma") -> DataFrame:
+    """Exponentially-weighted rate per key — the reference metrics
+    filter's actual estimator (Metriks-style one-minute-rate EWMA over
+    flush intervals, plugins-metadata.json:181), vs metrics_rates'
+    tumbling-window approximation.
+
+    Two stages: (1) per-key per-interval counts — one shuffle with
+    map-side combine; (2) the EWMA recurrence over each key's interval
+    series via applyInPandas (vectorized pandas ewm; the recurrence is
+    inherently sequential per key, the canonical stateful-UDAF shape of
+    SURVEY §2.8).  State per key is one float — scales to any key count.
+    """
+    import pandas as pd
+
+    counts = (df.groupBy(F.window(F.col(ts_col), interval).alias("w"),
+                         *[F.col(k) for k in keys])
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(*keys, F.col("w.start").alias("window_start"), "n"))
+
+    out_schema = ", ".join(
+        [f"`{k}` string" for k in keys]
+        + ["window_start timestamp", "n bigint", f"{rate_col} double"])
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        pdf[rate_col] = pdf["n"].astype("float64").ewm(
+            alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return counts.groupBy(*keys).applyInPandas(ewma, out_schema)

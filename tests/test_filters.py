@@ -664,3 +664,32 @@ def test_batch_filter_custom_code_escape_hatch(spark):
 
     rows = batch_filter(df, double_evens, "n long, n2 long").collect()
     assert [(r.n, r.n2) for r in rows] == [(2, 4)]
+
+
+def test_metrics_ewma_matches_recurrence(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.windows import metrics_ewma
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [4, 0, 2, 6]       # events per 10s interval for key "a"
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append(Row(k="a", ts=base + dt.timedelta(seconds=10 * i + j)))
+    rows.append(Row(k="b", ts=base))
+    df = spark.createDataFrame(rows)
+    got = {(r.k, r.window_start.second + 60 * r.window_start.minute): r
+           for r in metrics_ewma(df, "ts", ["k"], "10 seconds", alpha=0.5).collect()}
+
+    # hand recurrence for key a: ewma_0 = 4; then 2.0, 2.0, 4.0
+    # (counts 4,0(absent interval -> no row),2,6) — absent intervals emit
+    # no row, matching the plugin which only flushes on events seen
+    expect = {}
+    prev = None
+    for i, c in [(0, 4), (2, 2), (3, 6)]:
+        prev = c if prev is None else 0.5 * c + 0.5 * prev
+        expect[("a", 10 * i)] = prev
+    for kk, v in expect.items():
+        assert abs(got[kk].rate_ewma - v) < 1e-12, (kk, got[kk].rate_ewma, v)
+    assert got[("b", 0)].rate_ewma == 1.0
