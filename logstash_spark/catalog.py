@@ -1193,6 +1193,37 @@ FROM transcripts
 
 
 # ---------------------------------------------------------------------------
+# 48b. elapsed expired (timeout path of the elapsed plugin)
+# ---------------------------------------------------------------------------
+
+def q_elapsed_expired(spark, sf_dir):
+    from logstash_spark.operators.windows import elapsed_expired
+
+    t = _t(spark, sf_dir)
+    out = elapsed_expired(t, "conv_id", "ts",
+                          start_pred=F.col("role") == "user",
+                          end_pred=F.col("role").isin("assistant", "tool"),
+                          max_lag="interval 2 hours")
+    return out.select(
+        "conv_id", "start_turn_idx", "start_ts",
+        F.array_contains("tags", "elapsed_expired_error").alias("expired"))
+
+
+ORACLE_ELAPSED_EXPIRED = oracle_with_transcripts("""
+SELECT s.conv_id, s.turn_idx AS start_turn_idx, s.ts AS start_ts,
+       true AS expired
+FROM transcripts s
+WHERE s.role = 'user'
+  AND NOT EXISTS (
+    SELECT 1 FROM transcripts e
+    WHERE e.conv_id = s.conv_id
+      AND e.role IN ('assistant', 'tool')
+      AND e.ts > s.ts
+      AND e.ts <= s.ts + INTERVAL 2 HOUR)
+""")
+
+
+# ---------------------------------------------------------------------------
 # 49. bytes filter (community plugin logstash-filter-bytes)
 # ---------------------------------------------------------------------------
 
@@ -1427,6 +1458,7 @@ CATALOG: dict[str, tuple] = {
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, ORACLE_DEDUP_EMBEDDING_LSH),
+    "elapsed_expired": (q_elapsed_expired, ORACLE_ELAPSED_EXPIRED),
     "bytes": (q_bytes, ORACLE_BYTES),
     "cipher": (q_cipher, ORACLE_CIPHER),
     "extractnumbers": (q_extractnumbers, ORACLE_EXTRACTNUMBERS),

@@ -237,3 +237,29 @@ def metrics_ewma(df: DataFrame, ts_col: str, keys: list[str],
         return pdf
 
     return counts.groupBy(*keys).applyInPandas(ewma, out_schema)
+
+
+def elapsed_expired(df: DataFrame, key_col: str, ts_col: str,
+                    start_pred: Column, end_pred: Column,
+                    max_lag: str = "interval 5 minutes",
+                    id_cols: list[str] | None = None) -> DataFrame:
+    """elapsed plugin's timeout path: start events with NO matching end
+    within max_lag (plugin emits them tagged `elapsed_expired_error` on
+    its flush tick).  Same join condition as elapsed_join, left_anti —
+    one shuffle, no state beyond the join."""
+    from logstash_spark.functions.decorators import add_tag
+
+    id_cols = id_cols or ["turn_idx"]
+    s = df.filter(start_pred).select(
+        F.col(key_col), F.col(ts_col).alias("start_ts"),
+        *[F.col(c).alias(f"start_{c}") for c in id_cols])
+    e = df.filter(end_pred).select(
+        F.col(key_col).alias("__k2"), F.col(ts_col).alias("__end_ts"))
+    expired = s.join(
+        e,
+        (F.col(key_col) == F.col("__k2"))
+        & (F.col("__end_ts") > F.col("start_ts"))
+        & (F.col("__end_ts") <= F.col("start_ts") + F.expr(max_lag)),
+        "left_anti",
+    )
+    return add_tag(expired, "elapsed_expired_error")
