@@ -87,11 +87,17 @@ def geoip(df: DataFrame, ip_col: str, blocks: DataFrame,
 # Ordered UA rule table: (family, family_regex, version_regex).  First match
 # wins, mirroring the reference parser's ordered YAML rules.
 UA_RULES: list[tuple[str, str, str]] = [
+    ("Googlebot", r"Googlebot/(\d+)", r"Googlebot/(\d+(?:\.\d+)*)"),
+    ("bingbot", r"bingbot/(\d+)", r"bingbot/(\d+(?:\.\d+)*)"),
     ("Firefox", r"Firefox/(\d+)", r"Firefox/(\d+(?:\.\d+)*)"),
+    ("Opera", r"OPR/(\d+)", r"OPR/(\d+(?:\.\d+)*)"),
     ("Edge", r"Edg(?:e|A|iOS)?/(\d+)", r"Edg(?:e|A|iOS)?/(\d+(?:\.\d+)*)"),
     ("Chrome", r"Chrome/(\d+)", r"Chrome/(\d+(?:\.\d+)*)"),
     ("Safari", r"Version/(\d+).*Safari", r"Version/(\d+(?:\.\d+)*)"),
     ("curl", r"curl/(\d+)", r"curl/(\d+(?:\.\d+)*)"),
+    ("Wget", r"Wget/(\d+)", r"Wget/(\d+(?:\.\d+)*)"),
+    ("python-requests", r"python-requests/(\d+)",
+     r"python-requests/(\d+(?:\.\d+)*)"),
 ]
 
 UA_OS_RULES: list[tuple[str, str]] = [
