@@ -206,3 +206,57 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
             .option("topic", topic)
             .option("checkpointLocation", checkpoint)
             .start())
+
+
+# -- Iceberg (the north rule's table format; jar-gated in this sandbox) ------
+
+_ICEBERG_HINT = (
+    "iceberg needs the runtime package + catalog conf: spark-submit "
+    "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+    "--conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog "
+    "--conf spark.sql.catalog.lake.type=hadoop "
+    "--conf spark.sql.catalog.lake.warehouse=<path>")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 - Py4J wraps ClassNotFoundException
+        return False
+
+
+def iceberg_stream_source(spark: SparkSession, table: str,
+                          stream_from_timestamp: int | None = None) -> DataFrame:
+    """Iceberg incremental stream (the production transcripts source: same
+    offset/replay contract as the file source used in-sandbox — snapshot
+    ids are the offsets in the checkpoint)."""
+    if not iceberg_available(spark):
+        raise NotImplementedError(_ICEBERG_HINT)
+    r = spark.readStream.format("iceberg")
+    if stream_from_timestamp is not None:
+        r = r.option("stream-from-timestamp", str(stream_from_timestamp))
+    return r.load(table)
+
+
+def iceberg_merge_sink(table: str, merge_keys: list[str]):
+    """foreachBatch body: MERGE INTO the Iceberg table on merge_keys —
+    the exactly-once upsert ExactlyOnceParquetSink stands in for.  Returns
+    a (df, epoch_id) callable for writeStream.foreachBatch."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        if not iceberg_available(spark):
+            raise NotImplementedError(_ICEBERG_HINT)
+        view = f"__ice_batch_{epoch_id}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in merge_keys)
+        spark.sql(f"""
+            MERGE INTO {table} t USING {view} s ON {on}
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+    return write

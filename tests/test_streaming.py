@@ -611,3 +611,15 @@ def test_session_rollup_under_rocksdb_state_store(spark, stream_src, tmp_path):
     default_rows = run("hdfs")
     rocks_rows = run("rocks", rocks)
     assert rocks_rows == default_rows and rocks_rows
+
+
+def test_iceberg_wiring_gated(spark):
+    """Iceberg runtime absent in-sandbox: the wiring must raise the exact
+    submit recipe, mirroring the kafka gate."""
+    import pytest as _pytest
+    from logstash_spark.sources.connectors import (iceberg_available,
+                                                   iceberg_stream_source)
+
+    assert not iceberg_available(spark)
+    with _pytest.raises(NotImplementedError, match="--packages org.apache.iceberg"):
+        iceberg_stream_source(spark, "lake.db.transcripts")
