@@ -93,11 +93,22 @@ def anonymize(df: DataFrame, fields: list[str], key: str = "secret",
 
 def prune(df: DataFrame, whitelist: list[str] | None = None,
           blacklist: list[str] | None = None) -> DataFrame:
-    """Column pruning IS the operator — feeds Catalyst's pruning directly."""
+    """Column pruning IS the operator — feeds Catalyst's pruning directly.
+
+    whitelist_names/blacklist_names are REGEXES in the plugin (README:
+    `whitelist_names => ["^field\\d+"]`), matched by search against each
+    field name — driver-side only, the plan just gains a narrower select.
+    """
+    import re as _re
+
     if whitelist:
-        return df.select(*[c for c in df.columns if c in set(whitelist)])
+        pats = [_re.compile(p) for p in whitelist]
+        return df.select(*[c for c in df.columns
+                           if any(p.search(c) for p in pats)])
     if blacklist:
-        return df.drop(*blacklist)
+        pats = [_re.compile(p) for p in blacklist]
+        return df.drop(*[c for c in df.columns
+                         if any(p.search(c) for p in pats)])
     return df
 
 

@@ -693,3 +693,12 @@ def test_metrics_ewma_matches_recurrence(spark):
     for kk, v in expect.items():
         assert abs(got[kk].rate_ewma - v) < 1e-12, (kk, got[kk].rate_ewma, v)
     assert got[("b", 0)].rate_ewma == 1.0
+
+
+def test_prune_regex_names(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.misc import prune
+
+    df = spark.createDataFrame([Row(field1="a", field2="b", other="c")])
+    assert prune(df, whitelist=[r"^field\d+$"]).columns == ["field1", "field2"]
+    assert prune(df, blacklist=[r"^field"]).columns == ["other"]
