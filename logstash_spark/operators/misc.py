@@ -122,8 +122,32 @@ def de_dot(df: DataFrame, separator: str = "_") -> DataFrame:
 # -- truncate (meta:219) / urldecode (meta:223) -------------------------------
 
 def truncate(df: DataFrame, fields: list[str], length_bytes: int) -> DataFrame:
+    """Truncate to length_bytes BYTES (plugin semantics — not characters).
+
+    UTF-8 aware: the byte slice is decoded and a trailing partial
+    codepoint (decoded as U+FFFD) is dropped, so output is always valid
+    UTF-8 at most length_bytes long.  Short strings pass through
+    untouched (no re-encode cost on the common path).
+    """
+    n = length_bytes
     for f in fields:
-        df = df.withColumn(f, F.substring(F.col(f), 1, length_bytes))
+        col = F.col(f)
+        b = F.encode(col, "UTF-8")
+
+        def is_cont(pos):
+            # UTF-8 continuation byte: 0b10xxxxxx (128..191)
+            v = F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).try_cast("int")
+            return F.coalesce((v >= 128) & (v < 192), F.lit(False))
+
+        # largest clean cut <= n: back off while the byte AFTER the cut is
+        # a continuation byte (a codepoint is at most 4 bytes -> 3 checks)
+        cut = (F.when(~is_cont(n + 1), n)
+                .when(~is_cont(n), n - 1)
+                .when(~is_cont(n - 1), n - 2)
+                .otherwise(n - 3))
+        df = df.withColumn(
+            f, F.when(F.octet_length(col) <= n, col)
+                .otherwise(F.decode(F.substring(b, 1, cut), "UTF-8")))
     return df
 
 

@@ -702,3 +702,15 @@ def test_prune_regex_names(spark):
     df = spark.createDataFrame([Row(field1="a", field2="b", other="c")])
     assert prune(df, whitelist=[r"^field\d+$"]).columns == ["field1", "field2"]
     assert prune(df, blacklist=[r"^field"]).columns == ["other"]
+
+
+def test_truncate_is_byte_accurate(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.misc import truncate
+
+    df = spark.createDataFrame([Row(s="abcdef"), Row(s="äöü")])  # ä = 2 bytes
+    out = {r.s is not None and len(r.s): r.s
+           for r in truncate(df, ["s"], 5).collect()}
+    rows = [r.s for r in truncate(df, ["s"], 5).collect()]
+    assert "abcde" in rows          # 5 bytes of ascii
+    assert "äö" in rows             # 5 bytes cuts ü mid-codepoint -> dropped
