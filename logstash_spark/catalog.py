@@ -1224,6 +1224,35 @@ WHERE s.role = 'user'
 
 
 # ---------------------------------------------------------------------------
+# 48c. dns filter (resolver-snapshot join)
+# ---------------------------------------------------------------------------
+
+def q_dns(spark, sf_dir):
+    from logstash_spark.operators.enrich import dns_filter
+
+    t = _t(spark, sf_dir)
+    t = t.withColumn("host", F.concat(F.col("role"), F.lit(".example.com")))
+    # resolver snapshot: the two machine roles resolve, 'user' does not
+    records = spark.createDataFrame(
+        [("assistant.example.com", "10.0.0.1"), ("tool.example.com", "10.0.0.2")],
+        "name string, address string")
+    out = dns_filter(t, "host", records)
+    return out.select("conv_id", "turn_idx", "host",
+                      F.array_contains("tags", "_dnsfailure").alias("dns_missed"))
+
+
+ORACLE_DNS = oracle_with_transcripts("""
+WITH records(name, address) AS (VALUES
+    ('assistant.example.com', '10.0.0.1'), ('tool.example.com', '10.0.0.2'))
+SELECT t.conv_id, t.turn_idx,
+       coalesce(r.address, t.role || '.example.com') AS host,
+       r.address IS NULL AS dns_missed
+FROM transcripts t
+LEFT JOIN records r ON r.name = t.role || '.example.com'
+""")
+
+
+# ---------------------------------------------------------------------------
 # 49. bytes filter (community plugin logstash-filter-bytes)
 # ---------------------------------------------------------------------------
 
@@ -1459,6 +1488,7 @@ CATALOG: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, ORACLE_DEDUP_EMBEDDING_LSH),
     "elapsed_expired": (q_elapsed_expired, ORACLE_ELAPSED_EXPIRED),
+    "dns": (q_dns, ORACLE_DNS),
     "bytes": (q_bytes, ORACLE_BYTES),
     "cipher": (q_cipher, ORACLE_CIPHER),
     "extractnumbers": (q_extractnumbers, ORACLE_EXTRACTNUMBERS),
