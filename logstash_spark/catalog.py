@@ -1413,6 +1413,51 @@ FROM hosts
 
 
 # ---------------------------------------------------------------------------
+# 54b. tld with public-suffix table (longest-suffix broadcast join)
+# ---------------------------------------------------------------------------
+
+def q_tld_suffixes(spark, sf_dir):
+    from logstash_spark.operators.community import tld_with_suffixes
+
+    t = _t(spark, sf_dir).select("conv_id", "turn_idx", "role", "tool")
+    host = F.lower(F.concat(
+        F.col("role"), F.lit("."), F.coalesce(F.col("tool"), F.lit("none")),
+        F.when(F.col("turn_idx") % 3 == 0, F.lit(".shop.co.uk"))
+         .when(F.col("turn_idx") % 3 == 1, F.lit(".example.com"))
+         .otherwise(F.lit(".example.org"))))     # org: no suffix match
+    sfx = spark.createDataFrame([("co.uk",), ("uk",), ("com",)],
+                                "suffix string")
+    out = tld_with_suffixes(t.withColumn("host", host), "host", sfx)
+    return out.select("conv_id", "turn_idx", "host", "tld_tld", "tld_domain")
+
+
+ORACLE_TLD_SUFFIXES = oracle_with_transcripts("""
+WITH sfx(suffix) AS (VALUES ('co.uk'), ('uk'), ('com')),
+hosts AS (
+  SELECT conv_id, turn_idx,
+         lower(role || '.' || coalesce(tool, 'none') ||
+               CASE turn_idx % 3 WHEN 0 THEN '.shop.co.uk'
+                                 WHEN 1 THEN '.example.com'
+                                 ELSE '.example.org' END) AS host
+  FROM transcripts),
+best AS (
+  SELECT h.conv_id, h.turn_idx, h.host,
+         arg_max(s.suffix, length(s.suffix)) AS sfx
+  FROM hosts h
+  LEFT JOIN sfx s ON h.host LIKE '%.' || s.suffix OR h.host = s.suffix
+  GROUP BY 1, 2, 3)
+SELECT conv_id, turn_idx, host,
+       sfx AS tld_tld,
+       CASE WHEN sfx IS NOT NULL AND length(host) > length(sfx)
+            THEN regexp_extract(
+                   substring(host, 1, length(host) - length(sfx) - 1),
+                   '([^.]+)$', 1) || '.' || sfx
+       END AS tld_domain
+FROM best
+""")
+
+
+# ---------------------------------------------------------------------------
 # 55. range + age + alter combined (community plugins -range, -age, -alter)
 # ---------------------------------------------------------------------------
 
@@ -1495,5 +1540,6 @@ CATALOG: dict[str, tuple] = {
     "json_encode": (q_json_encode, ORACLE_JSON_ENCODE),
     "metricize": (q_metricize, ORACLE_METRICIZE),
     "tld": (q_tld, ORACLE_TLD),
+    "tld_suffixes": (q_tld_suffixes, ORACLE_TLD_SUFFIXES),
     "range_age_alter": (q_range_age_alter, ORACLE_RANGE_AGE_ALTER),
 }
