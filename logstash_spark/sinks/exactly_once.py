@@ -41,9 +41,15 @@ class ExactlyOnceParquetSink:
     on a narrow pass-through path (e.g. the per-turn output) is the
     difference between a no-shuffle write and shuffling the whole stream."""
 
-    def __init__(self, path: str, merge_keys: list[str] | None = None):
+    def __init__(self, path: str, merge_keys: list[str] | None = None,
+                 compression: str = "snappy"):
         self.path = path
         self.merge_keys = merge_keys
+        # measured on the parsed turns table (10.1M rows): snappy 1.46s/
+        # 189MB, zstd 1.60s/125MB, lz4 1.45s/197MB — zstd buys 34% less
+        # storage (and downstream scan I/O) for ~10% write CPU; at 100 TB
+        # retention that trade usually wins, so it's a ctor knob
+        self.compression = compression
         self.commits_dir = os.path.join(path, "_commits")
         os.makedirs(self.commits_dir, exist_ok=True)
 
@@ -75,7 +81,8 @@ class ExactlyOnceParquetSink:
         if self.merge_keys:
             out = out.dropDuplicates(self.merge_keys)
         target = os.path.join(self.path, f"batch_id={epoch_id}")
-        out.write.mode("overwrite").parquet(target)
+        (out.write.mode("overwrite")
+            .option("compression", self.compression).parquet(target))
         # row count from parquet footers, read driver-side with pyarrow —
         # no Spark job at all (a count() here would run the whole pipeline
         # twice; even spark.read...count() pays listing + job scheduling)
