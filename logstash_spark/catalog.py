@@ -1491,6 +1491,69 @@ FROM transcripts
 
 
 # ---------------------------------------------------------------------------
+# 56. transcript analytics: per-conversation shape stats
+# ---------------------------------------------------------------------------
+
+def q_conv_stats(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).cast("long").alias("n_user"),
+        F.sum(F.col("tool").isNotNull().cast("long")).cast("long").alias("n_tool_calls"),
+        F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+        F.max(F.col("text").contains("task=done")).alias("task_done"),
+        F.unix_timestamp(F.max("ts")).alias("last_s"),
+        F.unix_timestamp(F.min("ts")).alias("first_s"),
+    ).select("conv_id", "n_turns", "n_user", "n_tool_calls",
+             "n_distinct_tools", "task_done",
+             (F.col("last_s") - F.col("first_s")).alias("span_sec")))
+
+
+ORACLE_CONV_STATS = oracle_with_transcripts("""
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       bool_or(contains(text, 'task=done')) AS task_done,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+         - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_sec
+FROM transcripts GROUP BY conv_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# 57. transcript analytics: per-tool outcome funnel
+# ---------------------------------------------------------------------------
+
+def q_tool_funnel(spark, sf_dir):
+    from logstash_spark.operators.grok import grok
+
+    t = grok(_t(spark, sf_dir), "text", GROK_TPL)
+    return (t.filter(F.col("tool_name").isNotNull())
+            .groupBy("tool_name").agg(
+                F.count(F.lit(1)).cast("long").alias("n_calls"),
+                F.sum((F.col("status") >= 400).cast("long")).cast("long")
+                 .alias("n_errors"),
+                F.sum("bytes").cast("long").alias("total_bytes"),
+            ))
+
+
+ORACLE_TOOL_FUNNEL = oracle_with_transcripts(f"""
+WITH g AS (
+  SELECT NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 3), '') AS tool_name,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 1), '') AS BIGINT) AS status,
+         CAST(NULLIF(regexp_extract(text, '{GROK_SQL_PAT}', 2), '') AS BIGINT) AS bytes
+  FROM transcripts)
+SELECT tool_name, COUNT(*) AS n_calls,
+       CAST(SUM(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM g WHERE tool_name IS NOT NULL
+GROUP BY tool_name
+""")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1542,4 +1605,6 @@ CATALOG: dict[str, tuple] = {
     "tld": (q_tld, ORACLE_TLD),
     "tld_suffixes": (q_tld_suffixes, ORACLE_TLD_SUFFIXES),
     "range_age_alter": (q_range_age_alter, ORACLE_RANGE_AGE_ALTER),
+    "conv_stats": (q_conv_stats, ORACLE_CONV_STATS),
+    "tool_funnel": (q_tool_funnel, ORACLE_TOOL_FUNNEL),
 }
