@@ -232,3 +232,99 @@ def throttle_stream(df: DataFrame, period: str = "1 hour", max_count: int = 10,
             "append", GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 stateful API; RocksDB-backed)
+# ---------------------------------------------------------------------------
+
+def tws_available() -> bool:
+    """True when the TWS worker's protobuf dependency is importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+def aggregate_tws_stream(df: DataFrame, gap_sec: int = 1800,
+                         watermark: str = "1 hour",
+                         end_marker: str = "task=done") -> DataFrame:
+    """Same CEP semantics as aggregate_stateful_stream, on the
+    transformWithState API (SPARK-49564: typed value state + first-class
+    event-time timers + TTL; REQUIRES the RocksDB state-store provider —
+    state lives off-heap/on-disk, the 10^12-turn configuration).
+
+    applyInPandasWithState remains the default (works on any provider);
+    this twin is the forward path and is pinned equal to it by
+    tests/test_stateful.py when the environment supports it.
+
+    ENV GATE: the TWS python worker speaks protobuf to the JVM state
+    server (pyspark/sql/streaming/proto/StateMessage_pb2); without the
+    `protobuf` package this raises with the install hint.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package on the "
+            "driver/executors: pip install protobuf (absent in this "
+            "sandbox); use aggregate_stateful_stream (identical semantics)")
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class AggProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            conv_id = key[0]
+            exists = self.state.exists()
+            n, first_us, last_us, tools = (
+                self.state.get() if exists else (0, None, None, 0))
+            outs = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+                done = pdf["text"].str.contains(end_marker, regex=False)
+                is_tool = (pdf["role"] == "tool").astype("int64")
+                # segment on done markers: vectorized prefix sums per
+                # segment, python loop only over marker positions
+                start = 0
+                for pos in list(done.to_numpy().nonzero()[0]) + [None]:
+                    end = (pos + 1) if pos is not None else len(pdf)
+                    if end > start:
+                        seg_ts = ts_us.iloc[start:end]
+                        smin, smax = int(seg_ts.min()), int(seg_ts.max())
+                        n += end - start
+                        first_us = smin if first_us is None else min(first_us, smin)
+                        last_us = smax if last_us is None else max(last_us, smax)
+                        tools += int(is_tool.iloc[start:end].sum())
+                    if pos is not None and n > 0:
+                        outs.append(_emit(conv_id, n, first_us, last_us,
+                                          tools, "end_of_task"))
+                        n, first_us, last_us, tools = 0, None, None, 0
+                    start = end
+            if n > 0:
+                self.state.update((n, first_us, last_us, tools))
+                # event-time timer at last activity + gap
+                for t in self.handle.listTimers():
+                    self.handle.deleteTimer(t)
+                self.handle.registerTimer(last_us // 1000 + gap_sec * 1000)
+            elif exists:
+                self.state.clear()
+            return iter(outs)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if self.state.exists():
+                n, first_us, last_us, tools = self.state.get()
+                self.state.clear()
+                yield _emit(key[0], n, first_us, last_us, tools, "timeout")
+
+        def close(self):
+            pass
+
+    return (df.withWatermark("ts", watermark)
+            .groupBy("conv_id")
+            .transformWithStateInPandas(AggProcessor(), OUT_SCHEMA,
+                                        "append", "eventTime",
+                                        eventTimeColumnName="last_ts"))

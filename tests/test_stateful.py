@@ -176,3 +176,65 @@ def test_aggregate_stateful_kill_resume_matches_single_run(spark, tmp_path):
     assert ("A", 3, 1, "end_of_task") in exp, "fixture sanity"
     assert ("B", 2, 0, "timeout") in exp, "fixture sanity"
     assert got == exp
+
+
+def test_aggregate_tws_twin_matches_apwstate(spark, tmp_path):
+    """transformWithStateInPandas twin (RocksDB-backed) emits exactly what
+    the applyInPandasWithState path emits on the same input.  Skipped (and
+    the operator raises with an install hint) when the TWS worker's
+    protobuf dependency is absent, as in this sandbox."""
+    from logstash_spark.streaming.stateful import (aggregate_tws_stream,
+                                                   tws_available)
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            aggregate_tws_stream(J.stream_transcripts(spark, str(tmp_path)))
+        pytest.skip("protobuf absent: TWS gated (hint verified)")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch1 = [
+        ("A", 0, "user", "hello", T0),
+        ("A", 1, "assistant", "hi", T0 + 10),
+        ("A", 2, "tool", "run", T0 + 20),
+        ("A", 3, "assistant", "task=done bye", T0 + 30),
+        ("B", 0, "user", "start b", T0 + 5),
+        ("B", 1, "assistant", "working", T0 + 15),
+    ]
+    batch2 = [
+        ("A", 4, "user", "second task", T0 + 100),
+        ("A", 5, "assistant", "task=done again", T0 + 110),
+        ("C", 0, "user", "recent", T0 + 50_000),
+        ("C", 1, "assistant", "still going", T0 + 50_010),
+    ]
+    _write(src, batch1, "p0.parquet", 1_700_000_000)
+    _write(src, batch2, "p1.parquet", 1_700_000_001)
+
+    def run(builder, tag, conf=None):
+        old = {}
+        for k, v in (conf or {}).items():
+            old[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            stream = J.stream_transcripts(spark, src, max_files_per_trigger=1)
+            out = builder(stream, gap_sec=600, watermark="1 hour")
+            sink = str(tmp_path / f"out_{tag}")
+            q = (out.writeStream.outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                 .format("parquet").option("path", sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return {tuple(r) for r in spark.read.parquet(sink).collect()}
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    rocks = {"spark.sql.streaming.stateStore.providerClass":
+             "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider"}
+    base = run(aggregate_stateful_stream, "apw")
+    tws = run(aggregate_tws_stream, "tws", conf=rocks)
+    assert tws == base and tws
