@@ -52,6 +52,80 @@ def _emit(conv_id, n, first_us, last_us, tools, reason):
     })
 
 
+def _fold_batch(conv_id, pdf, carry0, end_marker):
+    """Shared CEP core for BOTH stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas): fold one micro-batch's rows for one key
+    into (emissions, carry_out).  carry/carry_out = (n, first_us, last_us,
+    tools) or None.  Pure pandas -> fully exercised by the apw tests even
+    where the TWS API itself is env-gated."""
+    import pandas as pd  # noqa: F401
+
+    emissions = []
+    raw_ts = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+    raw_tool = pdf["role"] == "tool"
+    raw_done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
+    ndone = int(raw_done.sum())
+
+    def merged(n, first, last, tools, c):
+        if c is None:
+            return (n, first, last, tools)
+        return (n + c[0], min(first, c[1]), max(last, c[2]), tools + c[3])
+
+    # fast path A — no end marker in this batch: order-free stats merge
+    # (the dominant shape for live incremental batches; skips the
+    # sort + segment machinery, which is ~all of the per-group cost)
+    if ndone == 0:
+        return emissions, merged(len(pdf), int(raw_ts.min()),
+                                 int(raw_ts.max()), int(raw_tool.sum()),
+                                 carry0)
+    # fast path B — exactly one marker with an unambiguous timestamp:
+    # everything at-or-before it closes one task, the rest carries
+    # (the dominant drain/backfill shape)
+    if ndone == 1:
+        m_ts = int(raw_ts[raw_done].iloc[0])
+        if int((raw_ts == m_ts).sum()) == 1:
+            before = raw_ts <= m_ts
+            emissions.append(_emit(
+                conv_id, *merged(int(before.sum()), int(raw_ts[before].min()),
+                                 m_ts, int(raw_tool[before].sum()), carry0),
+                "end_of_task"))
+            after = ~before
+            if bool(after.any()):
+                return emissions, (int(after.sum()), int(raw_ts[after].min()),
+                                   int(raw_ts[after].max()),
+                                   int(raw_tool[after].sum()))
+            return emissions, None
+
+    # general path: multiple markers / timestamp ties
+    pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+    ts_us = pdf["ts"].astype("int64") // 1000
+    is_tool = (pdf["role"] == "tool").astype("int64")
+    done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
+
+    # segment the batch at done-markers: rows up to and including each
+    # marker close one task; the tail stays in state
+    seg = done.cumsum().shift(fill_value=0)  # segment index per row
+    carry = carry0
+
+    for _seg_id, grp in pdf.groupby(seg.values, sort=True):
+        g_ts = ts_us[grp.index]
+        g_n = len(grp)
+        g_first, g_last = int(g_ts.min()), int(g_ts.max())
+        g_tools = int(is_tool[grp.index].sum())
+        if carry is not None:
+            n0, f0, l0, t0 = carry
+            g_n += n0
+            g_first, g_last = min(g_first, f0), max(g_last, l0)
+            g_tools += t0
+            carry = None
+        if bool(done[grp.index].any()):
+            emissions.append(_emit(conv_id, g_n, g_first, g_last, g_tools,
+                                   "end_of_task"))
+        else:
+            carry = (g_n, g_first, g_last, g_tools)
+    return emissions, carry
+
+
 def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
     """Build the per-group stateful function (curried so gap/marker are
     plain broadcast closures, no driver state)."""
@@ -75,72 +149,9 @@ def make_aggregate_fn(gap_sec: int, end_marker: str = "task=done"):
 
         chunks = list(pdf_iter)
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        raw_ts = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
-        raw_tool = pdf["role"] == "tool"
-        raw_done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
-        ndone = int(raw_done.sum())
         carry0 = state.get if state.exists else None
-
-        def merged(n, first, last, tools, c):
-            if c is None:
-                return (n, first, last, tools)
-            return (n + c[0], min(first, c[1]), max(last, c[2]), tools + c[3])
-
-        # fast path A — no end marker in this batch: order-free stats merge
-        # (the dominant shape for live incremental batches; skips the
-        # sort + segment machinery, which is ~all of the per-group cost)
-        if ndone == 0:
-            _park(state, merged(len(pdf), int(raw_ts.min()), int(raw_ts.max()),
-                                int(raw_tool.sum()), carry0))
-            return
-        # fast path B — exactly one marker with an unambiguous timestamp:
-        # everything at-or-before it closes one task, the rest carries
-        # (the dominant drain/backfill shape)
-        if ndone == 1:
-            m_ts = int(raw_ts[raw_done].iloc[0])
-            if int((raw_ts == m_ts).sum()) == 1:
-                before = raw_ts <= m_ts
-                yield _emit(conv_id, *merged(int(before.sum()),
-                                             int(raw_ts[before].min()), m_ts,
-                                             int(raw_tool[before].sum()), carry0),
-                            "end_of_task")
-                after = ~before
-                if bool(after.any()):
-                    _park(state, (int(after.sum()), int(raw_ts[after].min()),
-                                  int(raw_ts[after].max()),
-                                  int(raw_tool[after].sum())))
-                elif state.exists:
-                    state.remove()
-                return
-
-        # general path: multiple markers / timestamp ties
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
-        ts_us = pdf["ts"].astype("int64") // 1000
-        is_tool = (pdf["role"] == "tool").astype("int64")
-        done = pdf["text"].str.contains(end_marker, regex=False).fillna(False)
-
-        # segment the batch at done-markers: rows up to and including each
-        # marker close one task; the tail stays in state
-        seg = done.cumsum().shift(fill_value=0)  # segment index per row
-        carry = carry0
-
-        for seg_id, grp in pdf.groupby(seg.values, sort=True):
-            g_ts = ts_us[grp.index]
-            g_n = len(grp)
-            g_first, g_last = int(g_ts.min()), int(g_ts.max())
-            g_tools = int(is_tool[grp.index].sum())
-            if carry is not None:
-                n0, f0, l0, t0 = carry
-                g_n += n0
-                g_first, g_last = min(g_first, f0), max(g_last, l0)
-                g_tools += t0
-                carry = None
-            if bool(done[grp.index].any()):
-                # this segment ends with a marker -> emit now, clear
-                yield _emit(conv_id, g_n, g_first, g_last, g_tools, "end_of_task")
-            else:
-                carry = (g_n, g_first, g_last, g_tools)
-
+        emissions, carry = _fold_batch(conv_id, pdf, carry0, end_marker)
+        yield from emissions
         if carry is not None:
             _park(state, carry)
         elif state.exists:
@@ -279,40 +290,22 @@ def aggregate_tws_stream(df: DataFrame, gap_sec: int = 1800,
 
             conv_id = key[0]
             exists = self.state.exists()
-            n, first_us, last_us, tools = (
-                self.state.get() if exists else (0, None, None, 0))
-            outs = []
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
-                ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
-                done = pdf["text"].str.contains(end_marker, regex=False)
-                is_tool = (pdf["role"] == "tool").astype("int64")
-                # segment on done markers: vectorized prefix sums per
-                # segment, python loop only over marker positions
-                start = 0
-                for pos in list(done.to_numpy().nonzero()[0]) + [None]:
-                    end = (pos + 1) if pos is not None else len(pdf)
-                    if end > start:
-                        seg_ts = ts_us.iloc[start:end]
-                        smin, smax = int(seg_ts.min()), int(seg_ts.max())
-                        n += end - start
-                        first_us = smin if first_us is None else min(first_us, smin)
-                        last_us = smax if last_us is None else max(last_us, smax)
-                        tools += int(is_tool.iloc[start:end].sum())
-                    if pos is not None and n > 0:
-                        outs.append(_emit(conv_id, n, first_us, last_us,
-                                          tools, "end_of_task"))
-                        n, first_us, last_us, tools = 0, None, None, 0
-                    start = end
-            if n > 0:
-                self.state.update((n, first_us, last_us, tools))
+            carry0 = tuple(self.state.get()) if exists else None
+            chunks = list(rows)
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
+            # SAME core as applyInPandasWithState (fast paths + segment
+            # fold) — only the state/timer plumbing differs per API
+            emissions, carry = _fold_batch(conv_id, pdf, carry0, end_marker)
+            if carry is not None:
+                self.state.update(carry)
                 # event-time timer at last activity + gap
                 for t in self.handle.listTimers():
                     self.handle.deleteTimer(t)
-                self.handle.registerTimer(last_us // 1000 + gap_sec * 1000)
+                self.handle.registerTimer(carry[2] // 1000 + gap_sec * 1000)
             elif exists:
                 self.state.clear()
-            return iter(outs)
+            return iter(emissions)
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             if self.state.exists():
