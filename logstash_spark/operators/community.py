@@ -245,7 +245,11 @@ def tld(df: DataFrame, source: str, target_prefix: str = "tld_") -> DataFrame:
 def tld_with_suffixes(df: DataFrame, source: str, suffixes: DataFrame,
                       target_prefix: str = "tld_") -> DataFrame:
     """Public-suffix-aware variant: broadcast-join the suffix table
-    (columns: suffix) on the longest matching suffix of the hostname."""
+    (columns: suffix) on the longest matching suffix of the hostname.
+
+    The longest-match reduction groups by ALL input columns, so exactly
+    duplicate input rows collapse to one — feed a unique row key (any id
+    column) if duplicates must survive."""
     from pyspark.sql.functions import broadcast
 
     host = F.col(source)

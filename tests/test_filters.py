@@ -714,3 +714,16 @@ def test_truncate_is_byte_accurate(spark):
     rows = [r.s for r in truncate(df, ["s"], 5).collect()]
     assert "abcde" in rows          # 5 bytes of ascii
     assert "äö" in rows             # 5 bytes cuts ü mid-codepoint -> dropped
+
+
+def test_date_tai64n(spark):
+    # canonical daemontools example: @4000000037c219bf2ef02e94
+    df = spark.createDataFrame([Row(raw="@4000000037c219bf2ef02e94"),
+                                Row(raw="@zznotvalid")])
+    out = {bool(r.raw.startswith("@4")): r
+           for r in date(df, "raw", ["TAI64N"], target="t").collect()}
+    # secs = 0x37c219bf, nanos = 0x2ef02e94 -> us truncation; like the
+    # reference, no TAI-UTC leap-second correction is applied
+    got = out[True].t
+    assert got == datetime.datetime(1999, 8, 24, 4, 4, 15, 787492)
+    assert "_dateparsefailure" in out[False].tags
