@@ -238,3 +238,47 @@ def test_aggregate_tws_twin_matches_apwstate(spark, tmp_path):
     base = run(aggregate_stateful_stream, "apw")
     tws = run(aggregate_tws_stream, "tws", conf=rocks)
     assert tws == base and tws
+
+
+def test_throttle_stream_kill_resume_matches_single_run(spark, tmp_path):
+    """Throttle state (per key+window running count) survives a
+    checkpoint resume: split-run union == single-shot run."""
+    from logstash_spark.streaming.stateful import throttle_stream
+
+    batch1 = [("A", i, "user", f"m{i}", T0 + i) for i in range(4)]
+    batch2 = [("A", i, "user", f"m{i}", T0 + i) for i in range(4, 8)]
+    # push watermark so windows close
+    batch2 += [("Z", 0, "user", "future", T0 + 90_000)]
+
+    def run(src_dir, ckpt, sink_dir):
+        stream = J.stream_transcripts(spark, src_dir, max_files_per_trigger=1)
+        out = throttle_stream(stream, period="1 hour", max_count=5)
+        q = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", sink_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, batch1, "p0.parquet", 1_700_000_000)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    run(src, ckpt, sink)
+    _write(src, batch2, "p1.parquet", 1_700_000_001)
+    run(src, ckpt, sink)
+    got = {(r.conv_id, r.turn_idx, r.throttled)
+           for r in spark.read.parquet(sink).collect()}
+
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    _write(src2, batch1, "p0.parquet", 1_700_000_000)
+    _write(src2, batch2, "p1.parquet", 1_700_000_001)
+    sink2 = str(tmp_path / "out2")
+    run(src2, str(tmp_path / "ck2"), sink2)
+    want = {(r.conv_id, r.turn_idx, r.throttled)
+            for r in spark.read.parquet(sink2).collect()}
+
+    assert got == want and got
+    # the split across the kill is mid-window: turns 5..7 only throttle if
+    # the pre-kill count (4) survived the resume
+    assert ("A", 6, True) in got and ("A", 3, False) in got
