@@ -140,3 +140,27 @@ def elasticsearch_lookup(df: DataFrame, source: str, dim: DataFrame,
     a broadcast join on the query key.  Per-event HTTP is deliberately not
     offered (per-row network in a hot path)."""
     return lookup(df, source, dim, dim_key, fetch, **kw)
+
+
+def http_lookup(df: DataFrame, source: str, dim: DataFrame,
+                fetch: dict[str, str] | list[str],
+                dim_key: str = "url", **kw) -> DataFrame:
+    """http filter analog (plugins-metadata.json:148): the reference
+    issues an HTTP request per event and merges the response body into
+    the event.  The Spark shape is a RESPONSE SNAPSHOT dim — (url/key,
+    response fields) fetched out-of-band on the loader schedule — and a
+    broadcast join; per-event HTTP in the hot path is deliberately not
+    offered (same rationale as elasticsearch/memcached above)."""
+    return lookup(df, source, dim, dim_key, fetch, **kw)
+
+
+def jdbc_streaming_lookup(df: DataFrame, source: str, dim: DataFrame,
+                          fetch: dict[str, str] | list[str],
+                          dim_key: str = "id", **kw) -> DataFrame:
+    """jdbc_streaming filter analog (plugins-metadata.json:156): the
+    reference runs a parameterized SQL query per event with a local LRU
+    cache.  The cache steady-state IS a dim table: snapshot the queried
+    table via the Spark JDBC source (jdbc_static's loader) and broadcast-
+    join on the parameter key — identical results for finite key domains,
+    no per-event round trip."""
+    return lookup(df, source, dim, dim_key, fetch, **kw)

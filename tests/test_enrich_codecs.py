@@ -265,3 +265,24 @@ def test_dns_filter_snapshot_join(spark):
         spark.createDataFrame([Row(ip="10.0.0.5")]), "ip", records,
         action="append", target="host", reverse=True).collect()[0]
     assert rev.ip == "10.0.0.5" and rev.host == "db.example.com"
+
+
+def test_http_and_jdbc_streaming_lookup_analogs(spark):
+    from pyspark.sql import Row
+    from logstash_spark.operators.lookup import (http_lookup,
+                                                 jdbc_streaming_lookup)
+
+    df = spark.createDataFrame([Row(u="http://x/1", uid=1),
+                                Row(u="http://x/9", uid=9)])
+    responses = spark.createDataFrame(
+        [Row(url="http://x/1", status=200, body="ok")])
+    r = {x.u: x for x in http_lookup(
+        df, "u", responses, ["status", "body"],
+        tag_on_miss="_httpfailure").collect()}
+    assert r["http://x/1"].status == 200 and r["http://x/1"].body == "ok"
+    assert "_httpfailure" in r["http://x/9"].tags
+
+    users = spark.createDataFrame([Row(id=1, name="ada")])
+    j = {x.uid: x for x in jdbc_streaming_lookup(
+        df, "uid", users, ["name"]).collect()}
+    assert j[1].name == "ada" and j[9].name is None
