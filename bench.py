@@ -35,11 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_BENCH_JVM", "1")
 
 HEADLINE = [
-    "grok", "dissect", "mutate", "date", "kv",
+    "grok", "dissect_kv", "mutate", "date",
     "conditional", "fingerprint",
-    "session_window", "tumbling_rollup", "sliding_rollup",
+    "session_window", "tumbling_sliding",
     "throttle", "aggregate_end_of_task", "elapsed",
-    "multiline", "geoip", "metrics_rates",
+    "multiline", "geoip", "metrics_rates", "pipeline_p2p",
     # dedup_embedding_lsh is the graded scale path (bucketed, oracle-gated);
     # the O(N^2) exact variant stays in the catalog as its oracle twin only.
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",

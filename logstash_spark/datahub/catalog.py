@@ -55,22 +55,42 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_dedup(spark.table("documents"))
 
 
-_minhash_aggs = ",\n         ".join(
-    f"MIN(md5(CONCAT('{i}|', shingle))) AS h{i}" for i in range(8))
-ORACLE_DEDUP_MINHASH = f"""
+def q_dedup_minhash16(spark, sf_dir):
+    """Production-recall banding: 16 hashes / 4-per-band = 4 bands, putting
+    Jaccard-0.8 pairs at ~87% candidate recall vs the 8/4 default's ~56%
+    (VERDICT r2 "Next round" #5).  Same plan shape, 2x the MIN aggs."""
+    from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+    load_tables(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(spark.table("documents"),
+                             n_hashes=16, band_size=4)
+
+
+def _minhash_oracle(n_hashes: int, band_size: int) -> str:
+    """DuckDB mirror of the minhash+banding pipeline at any (n, r)."""
+    aggs = ",\n         ".join(
+        f"MIN(md5(CONCAT('{i}|', shingle))) AS h{i}" for i in range(n_hashes))
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5(CONCAT({cols})) AS band_hash FROM sigs"
+        .format(b=b, cols=", ".join(
+            f"h{i}" for i in range(b * band_size, (b + 1) * band_size)))
+        for b in range(n_hashes // band_size))
+    return f"""
 WITH {SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
-         {_minhash_aggs}
+         {aggs}
   FROM shingles GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, 0 AS band_id, md5(CONCAT(h0, h1, h2, h3)) AS band_hash FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band_id, md5(CONCAT(h4, h5, h6, h7)) AS band_hash FROM sigs)
+{band_selects})
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 """
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle(8, 4)
+ORACLE_DEDUP_MINHASH16 = _minhash_oracle(16, 4)
 
 
 # 3. simhash ------------------------------------------------------------------
@@ -473,6 +493,7 @@ FROM filtered f JOIN kept k ON f.doc_id = k.doc_id
 DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
+    "dedup_minhash16": (q_dedup_minhash16, ORACLE_DEDUP_MINHASH16),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),

@@ -104,11 +104,25 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Full MinHash+LSH near-dup candidate pipeline."""
-    sh = word_shingles(df, text_col, id_col)
-    sigs = minhash_signatures(sh, id_col)
-    return lsh_candidate_pairs(sigs, id_col)
+                      id_col: str = "doc_id",
+                      n_hashes: int = N_MINHASH,
+                      band_size: int = BAND_SIZE,
+                      shingle_n: int = 3) -> DataFrame:
+    """Full MinHash+LSH near-dup candidate pipeline.
+
+    Recall is the banding curve P(candidate) = 1 - (1 - s^r)^b for Jaccard
+    similarity s with r = band_size rows per band and b = n_hashes/band_size
+    bands (Leskovec/Rajaraman/Ullman, MMDS ch.3).  The 8/4 default (2 bands)
+    is cheap but recall-thin for production near-dup thresholds; 16/4
+    (4 bands) puts s=0.8 candidates at ~87% recall vs ~56%.  Cost scales
+    linearly in n_hashes (one extra MIN agg per hash, one extra band row
+    per band) — the shuffle key stays (band_id, band_hash), so the plan
+    shape is unchanged at any setting.
+    """
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes)
+    return lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
+                               band_size=band_size)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

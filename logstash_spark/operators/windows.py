@@ -63,24 +63,29 @@ def sliding_rollup(df: DataFrame, ts_col: str, size: str, slide: str,
 # -- throttle filter analog ----------------------------------------------------
 
 def throttle(df: DataFrame, ts_col: str, key_cols: list[str], period: str,
-             max_count: int, tag: str = "throttled") -> DataFrame:
+             max_count: int, tag: str = "throttled",
+             order_cols: list[str] | None = None) -> DataFrame:
     """Tag events beyond `max_count` per key per tumbling period.
 
-    Implemented as a windowed count joined back on (window, key): both sides
-    shuffle on the same key so AQE plans a co-partitioned join; in streaming
-    mode use the aggregate side as a stream and the tag side via
-    stream-stream join or restructure as session logic.
+    Reference `after_count` semantics (logstash-filter-throttle, meta:211):
+    the first `max_count` events of a (key, window) PASS untagged and only
+    the excess is tagged — matching the streaming twin
+    (streaming/stateful.make_throttle_fn, which keeps a running counter).
+    Implemented as row_number over (window, key) ordered by
+    (`order_cols` or ts): one shuffle on the (window, key) grouping, no
+    join-back.  Ties on ts make row_number nondeterministic — pass a
+    tiebreak (e.g. turn_idx) in `order_cols` for reproducible output.
+    This ranking shape is batch-only; streaming uses the stateful twin.
     """
+    from pyspark.sql import Window
+
     from logstash_spark.functions.decorators import add_tag
 
-    left = df.withColumn("__ws", F.window(F.col(ts_col), period).getField("start"))
-    counts = (
-        left.groupBy("__ws", *[F.col(k) for k in key_cols])
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    joined = left.join(counts, on=["__ws", *key_cols], how="left")
-    out = add_tag(joined, tag, when=F.col("__cnt") > max_count)
-    return out.drop("__ws", "__cnt")
+    order_cols = order_cols or [ts_col]
+    ws = F.window(F.col(ts_col), period).getField("start")
+    w = Window.partitionBy(ws, *[F.col(k) for k in key_cols]) \
+              .orderBy(*[F.col(c) for c in order_cols])
+    return add_tag(df, tag, when=F.row_number().over(w) > max_count)
 
 
 # -- aggregate filter analog: session windows ------------------------------------

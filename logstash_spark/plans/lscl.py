@@ -697,8 +697,44 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 # full-config jobs: input/output sections (SURVEY.md §2.4-2.5)
 # ---------------------------------------------------------------------------
 
-_SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin"})
-_SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch", "tcp"})
+_SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
+                               "kafka", "tcp", "syslog", "pipeline"})
+_SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
+                                "tcp", "pipeline"})
+
+
+class PipelineBus:
+    """Pipeline-to-pipeline analog (reference PipelineBus.java:56-66,
+    `output { pipeline { send_to } }` / `input { pipeline { address } }`).
+
+    The reference moves serialized events between in-process pipelines over
+    named virtual addresses with blocking sends.  The Spark-native shape is
+    LOGICAL PLAN COMPOSITION: `send` registers the upstream DataFrame under
+    the address, `listen` hands that DataFrame to the downstream pipeline —
+    so the downstream plan embeds the upstream plan and Catalyst optimizes
+    across the pipeline boundary (filter pushdown through both configs, one
+    scan).  Nothing is materialized unless the caller persists the
+    intermediate; `ensure_delivery` has no analog because plan composition
+    cannot drop events.  Pass one bus instance via `context={"bus": bus}`
+    to every job that should share addresses (default: a process-global
+    bus, matching the reference's per-agent registry)."""
+
+    def __init__(self):
+        self._addresses: dict[str, DataFrame] = {}
+
+    def send(self, address: str, df: DataFrame) -> None:
+        self._addresses[address] = df
+
+    def listen(self, address: str) -> DataFrame:
+        if address not in self._addresses:
+            raise SyntaxError(
+                f"LSCL: pipeline input address {address!r} has no upstream — "
+                f"run the sending job first (registered: "
+                f"{sorted(self._addresses) or 'none'})")
+        return self._addresses[address]
+
+
+_DEFAULT_BUS = PipelineBus()
 
 
 class LsclJob:
@@ -747,9 +783,39 @@ class LsclJob:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
-    @staticmethod
-    def _one_source(spark, n: PluginNode, stdin_df) -> DataFrame:
+    @property
+    def bus(self) -> PipelineBus:
+        return self.context.get("bus") or _DEFAULT_BUS
+
+    def _one_source(self, spark, n: PluginNode, stdin_df) -> DataFrame:
         a = n.attrs
+        if n.name == "pipeline":
+            return self.bus.listen(a["address"])
+        if n.name == "kafka":
+            # jar-gated: kafka_source raises NotImplementedError with the
+            # exact --packages submit flag when the datasource is absent
+            from logstash_spark.sources.connectors import kafka_source
+
+            topics = a.get("topics", a.get("topic"))
+            if isinstance(topics, list):
+                topics = ",".join(topics)
+            return kafka_source(
+                spark, a["bootstrap_servers"], topics,
+                codec=a.get("codec", "json_lines"),
+                schema=a.get("schema"),
+                starting_offsets=a.get("auto_offset_reset", "latest"),
+                max_offsets_per_trigger=a.get("max_poll_records"))
+        if n.name == "tcp":
+            from logstash_spark.sources.connectors import tcp_source
+
+            return tcp_source(spark, a.get("host", "127.0.0.1"),
+                              int(a["port"]), codec=a.get("codec", "line"),
+                              schema=a.get("schema"))
+        if n.name == "syslog":
+            from logstash_spark.sources.connectors import syslog_source
+
+            return syslog_source(spark, a.get("host", "127.0.0.1"),
+                                 int(a["port"]))
         if n.name == "stdin":
             if stdin_df is None:
                 raise SyntaxError(
@@ -802,6 +868,13 @@ class LsclJob:
         a = n.attrs
         if n.name in ("stdout", "null"):
             return  # row-printing/discard sinks: no plan effect in batch
+        if n.name == "pipeline":
+            addrs = a["send_to"]
+            if not isinstance(addrs, list):
+                addrs = [addrs]
+            for addr in addrs:
+                self.bus.send(addr, df)
+            return
         if n.name == "file":
             from logstash_spark.functions.decorators import strip_metadata
 

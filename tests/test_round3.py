@@ -1,0 +1,348 @@
+"""Round-3 conformance: field-reference escape styles, pipeline-to-pipeline
+composition, LSCL stream-input wiring, MinHash banding recall, avro gate.
+
+Reference shapes: FieldReferenceTest.java (escape goldens),
+PipelineBus.java:56-66 + pipeline_pipeline_spec.rb (p2p),
+qa/integration/fixtures/*_spec.yml (input round-trips).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# field-reference escape styles (FieldReference.java:52-70, EscapeHandler)
+# ---------------------------------------------------------------------------
+
+class TestFieldRefEscapes:
+    def test_percent_goldens(self):
+        """FieldReferenceTest.EscapePercent shapes."""
+        from logstash_spark.functions.fieldref import parse_field_ref
+
+        assert parse_field_ref("[foo][bar%5Bbingo%5D][okay]", "percent") == \
+            ["foo", "bar[bingo]", "okay"]
+        assert parse_field_ref("[foo][okay][bar%5Bbingo%5D]", "percent") == \
+            ["foo", "okay", "bar[bingo]"]
+        # a literal % not followed by two hex digits stays literal
+        assert parse_field_ref("[foo][bar][95%]", "percent") == \
+            ["foo", "bar", "95%"]
+
+    def test_ampersand_goldens(self):
+        """FieldReferenceTest.EscapeAmpersand shapes."""
+        from logstash_spark.functions.fieldref import parse_field_ref
+
+        assert parse_field_ref("[foo][bar&#91;bingo&#93;][okay]", "ampersand") == \
+            ["foo", "bar[bingo]", "okay"]
+        assert parse_field_ref("[foo][okay][bar&#91;bingo&#93;]", "ampersand") == \
+            ["foo", "okay", "bar[bingo]"]
+        assert parse_field_ref("[foo][bar][this&that]", "ampersand") == \
+            ["foo", "bar", "this&that"]
+
+    def test_escape_unescape_roundtrip(self):
+        from logstash_spark.functions.fieldref import escape_part, unescape_part
+
+        for style in ("percent", "ampersand"):
+            for name in ("bar[bingo]", "95%", "%5B", "this&that", "&#91;",
+                         "plain", "[", "]"):
+                assert unescape_part(escape_part(name, style), style) == name
+
+    def test_none_is_identity_and_bad_style_raises(self):
+        from logstash_spark.functions.fieldref import parse_field_ref, unescape_part
+
+        assert parse_field_ref("[a][b%5Bc%5D]") == ["a", "b%5Bc%5D"]
+        with pytest.raises(ValueError, match="Invalid escape style"):
+            unescape_part("&#91;x", "html")
+
+    def test_field_col_resolves_escaped_top_level(self, spark):
+        from logstash_spark.functions.fieldref import field_col
+
+        df = spark.createDataFrame([("v",)], ["bar[bingo]"])
+        col = field_col(df.columns, "[bar%5Bbingo%5D]", escape_style="percent")
+        assert col is not None
+        # backticks-free resolution: the decoded name addresses the column
+        assert df.select(col.alias("x")).collect()[0].x == "v"
+
+
+# ---------------------------------------------------------------------------
+# pipeline-to-pipeline (PipelineBus analog): composed == fused
+# ---------------------------------------------------------------------------
+
+class TestPipelineToPipeline:
+    UP = """
+    input { stdin {} }
+    filter {
+      grok { match => { "text" => "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name} msg=%{WORD:msg}" } }
+    }
+    output { pipeline { send_to => ["r3_parsed"] } }
+    """
+    DOWN = """
+    input { pipeline { address => "r3_parsed" } }
+    filter {
+      if "_grokparsefailure" in [tags] { drop {} }
+      mutate { uppercase => ["tool_name"] }
+    }
+    output { null {} }
+    """
+    FUSED = """
+    filter {
+      grok { match => { "text" => "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name} msg=%{WORD:msg}" } }
+      if "_grokparsefailure" in [tags] { drop {} }
+      mutate { uppercase => ["tool_name"] }
+    }
+    """
+
+    def test_composed_equals_fused(self, spark, transcripts):
+        from logstash_spark.plans.lscl import (PipelineBus, compile_lscl,
+                                               compile_lscl_job)
+
+        bus = PipelineBus()
+        up = compile_lscl_job(self.UP, context={"bus": bus})
+        down = compile_lscl_job(self.DOWN, context={"bus": bus})
+        src = transcripts.limit(2000)
+        up.run(spark, stdin_df=src)
+        composed = down.run(spark)
+
+        fused = compile_lscl(self.FUSED)(src)
+        cols = ["conv_id", "turn_idx", "status", "tool_name"]
+        got = sorted(map(tuple, composed.select(cols).collect()))
+        want = sorted(map(tuple, fused.select(cols).collect()))
+        assert got and got == want
+
+    def test_bus_is_plan_composition_not_materialization(self, spark, transcripts):
+        """The downstream plan must EMBED the upstream scan (one logical
+        plan across the boundary) — no intermediate write."""
+        from logstash_spark.plans.lscl import PipelineBus, compile_lscl_job
+
+        bus = PipelineBus()
+        up = compile_lscl_job(self.UP, context={"bus": bus})
+        down = compile_lscl_job(self.DOWN, context={"bus": bus})
+        up.run(spark, stdin_df=transcripts.limit(10))
+        plan = down.run(spark)._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan or "Relation" in plan or "Scan" in plan
+
+    def test_missing_address_raises(self, spark):
+        from logstash_spark.plans.lscl import PipelineBus, compile_lscl_job
+
+        down = compile_lscl_job(self.DOWN, context={"bus": PipelineBus()})
+        with pytest.raises(SyntaxError, match="no upstream"):
+            down.run(spark)
+
+    def test_fanout_two_addresses(self, spark, transcripts):
+        """send_to with two addresses registers the frame on both (the
+        reference fans out to every listening pipeline)."""
+        from logstash_spark.plans.lscl import PipelineBus, compile_lscl_job
+
+        bus = PipelineBus()
+        up = compile_lscl_job(
+            'input { stdin {} } '
+            'output { pipeline { send_to => ["r3_a", "r3_b"] } }',
+            context={"bus": bus})
+        up.run(spark, stdin_df=transcripts.limit(5))
+        assert bus.listen("r3_a").count() == 5
+        assert bus.listen("r3_b").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# LSCL stream inputs: kafka (jar-gated), tcp, syslog (live socket)
+# ---------------------------------------------------------------------------
+
+class TestLsclStreamInputs:
+    def test_kafka_input_wiring_gated(self, spark):
+        from logstash_spark.plans.lscl import compile_lscl_job
+        from logstash_spark.sources.connectors import kafka_available
+
+        job = compile_lscl_job("""
+        input { kafka { bootstrap_servers => "localhost:9092"
+                        topics => ["turns"] codec => "line" } }
+        filter { mutate { add_tag => ["from_kafka"] } }
+        output { null {} }
+        """)
+        if kafka_available(spark):
+            src = job.source(spark)
+            assert src.isStreaming and "message" in src.columns
+        else:
+            with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+                job.source(spark)
+
+    def _serve_lines(self, lines: list[str]):
+        import socket
+        import threading
+        import time
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def serve():
+            conn, _ = srv.accept()
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)
+            conn.close()
+
+        threading.Thread(target=serve, daemon=True).start()
+        return port
+
+    def _drain(self, spark, q, table, expect_n, timeout=60):
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(table).count() >= expect_n:
+                break
+            time.sleep(0.5)
+
+    def test_tcp_input_roundtrip(self, spark):
+        """input { tcp } -> filter -> memory sink against a live socket."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        lines = ["status=200 bytes=11 tool=sql msg=ok",
+                 "status=500 bytes=7 tool=bash msg=boom"]
+        port = self._serve_lines(lines)
+        job = compile_lscl_job(f"""
+        input {{ tcp {{ port => {port} }} }}
+        filter {{
+          grok {{ match => {{ "message" => "status=%{{INT:status:int}} bytes=%{{INT:bytes:int}} tool=%{{WORD:tool_name}} msg=%{{WORD:msg}}" }} }}
+        }}
+        output {{ null {{}} }}
+        """)
+        out = job.pipeline(job.source(spark))
+        q = (out.writeStream.format("memory").queryName("r3_tcp_mem")
+             .outputMode("append").start())
+        try:
+            self._drain(spark, q, "r3_tcp_mem", len(lines))
+            rows = {r.msg: r for r in spark.table("r3_tcp_mem").collect()}
+            assert rows["ok"].status == 200 and rows["ok"].tool_name == "sql"
+            assert rows["boom"].bytes == 7
+        finally:
+            q.stop()
+
+    def test_syslog_input_roundtrip(self, spark):
+        """input { syslog } parses RFC3164 fields off a live socket."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        lines = ["<34>Oct 11 22:14:15 host1 su[1024]: auth failure",
+                 "not syslog at all"]
+        port = self._serve_lines(lines)
+        job = compile_lscl_job(f"""
+        input {{ syslog {{ port => {port} }} }}
+        output {{ null {{}} }}
+        """)
+        out = job.pipeline(job.source(spark))
+        q = (out.writeStream.format("memory").queryName("r3_syslog_mem")
+             .outputMode("append").start())
+        try:
+            self._drain(spark, q, "r3_syslog_mem", len(lines))
+            rows = {r.message: r for r in spark.table("r3_syslog_mem").collect()}
+            good = rows[lines[0]]
+            assert good.priority == 34 and good.severity == 2
+            assert good.logsource == "host1" and good.program == "su"
+            bad = rows[lines[1]]
+            assert "_syslogparsefailure" in (bad.tags or [])
+        finally:
+            q.stop()
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding recall (VERDICT r2 next-round #5)
+# ---------------------------------------------------------------------------
+
+class TestMinhashRecall:
+    @staticmethod
+    def _fixture(spark, n_pairs=40, seed=7):
+        """Seeded near-dup pairs: doc 2k is ~60 random words; doc 2k+1 is
+        the same with ~10% of words replaced (high but varied Jaccard)."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        rows = []
+        for k in range(n_pairs):
+            words = list(rng.choice(vocab, size=60, replace=True))
+            rows.append((2 * k, " ".join(words)))
+            mutated = list(words)
+            for j in rng.choice(len(words), size=6, replace=False):
+                mutated[j] = str(rng.choice(vocab))
+            rows.append((2 * k + 1, " ".join(mutated)))
+        return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+    @staticmethod
+    def _shingle_jaccard(a: str, b: str, n=3) -> float:
+        def sh(t):
+            toks = t.split()
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    def test_recall_meets_banding_curve(self, spark):
+        """Empirical candidate recall at 16 hashes / 4-per-band must meet
+        the banding curve 1-(1-s^r)^b (MMDS ch.3) within slack, per true
+        (deterministically computed) shingle-Jaccard of each seeded pair."""
+        from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+        df, rows = self._fixture(spark)
+        pairs16 = {(r.a, r.b) for r in
+                   minhash_lsh_dedup(df, n_hashes=16, band_size=4).collect()}
+
+        txt = dict(rows)
+        expected, hits = 0.0, 0
+        planted = 0
+        for k in range(len(rows) // 2):
+            a, b = 2 * k, 2 * k + 1
+            s = self._shingle_jaccard(txt[a], txt[b])
+            if s <= 0.0:
+                continue
+            planted += 1
+            expected += 1 - (1 - s ** 4) ** 4
+            if (a, b) in pairs16:
+                hits += 1
+        assert planted >= 30
+        recall = hits / planted
+        curve = expected / planted
+        # md5-minhash is deterministic for a fixed fixture: the empirical
+        # recall should sit near its expectation; 0.15 absorbs the fixed
+        # draw's variance (binomial sd ~0.05 at n=40)
+        assert recall >= curve - 0.15, (recall, curve)
+
+    def test_more_bands_strict_superset(self, spark):
+        """16/4 banding reuses h0..h7's two bands and adds two more, so its
+        candidate set must contain the 8/4 set (monotone recall knob)."""
+        from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+        df, _ = self._fixture(spark, n_pairs=25, seed=11)
+        p8 = {(r.a, r.b) for r in
+              minhash_lsh_dedup(df, n_hashes=8, band_size=4).collect()}
+        p16 = {(r.a, r.b) for r in
+               minhash_lsh_dedup(df, n_hashes=16, band_size=4).collect()}
+        assert p8 <= p16
+        assert len(p16) >= len(p8)
+
+
+# ---------------------------------------------------------------------------
+# avro codec decode contract (VERDICT r2 next-round #7)
+# ---------------------------------------------------------------------------
+
+def test_avro_decode_contract_or_gated(spark):
+    """Hand-encoded Avro binary record (public Avro 1.x binary spec:
+    zigzag-varint longs, length-prefixed utf8 strings, fields in schema
+    order).  With the spark-avro jar: from_avro must decode it exactly.
+    Without: the gate must raise with the exact --packages flag."""
+    from logstash_spark.operators.codecs import avro_decode
+
+    schema = ('{"type":"record","name":"t","fields":['
+              '{"name":"i","type":"long"},{"name":"s","type":"string"}]}')
+    # i=3 -> zigzag 6 -> varint 0x06 ; s="hi" -> len 2 -> 0x04 + b"hi"
+    wire = bytes([0x06, 0x04]) + b"hi"
+    df = spark.createDataFrame([(wire,)], "b binary")
+    try:
+        out = avro_decode(df, "b", schema, target="rec")
+        row = out.select("rec.i", "rec.s").collect()[0]
+        assert (row.i, row.s) == (3, "hi")
+    except NotImplementedError as exc:
+        assert "org.apache.spark:spark-avro" in str(exc)
+        pytest.skip(f"spark-avro jar absent (gate verified): {exc}")

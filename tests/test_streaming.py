@@ -353,6 +353,18 @@ def test_throttle_stream_matches_batch(spark, stream_src, tmp_path):
     assert got == exp
     assert any(t for _, _, t in got), "fixture produced no throttled events"
 
+    # the batch OPERATOR (windows.throttle after_count ranking) must agree
+    # with the streaming twin on the same input — pins the r2 semantics fix
+    from logstash_spark.operators.windows import throttle as batch_throttle
+
+    op = {(r.conv_id, r.turn_idx,
+           "throttled" in (r.tags or []))
+          for r in batch_throttle(batch, "ts", ["conv_id"], "1 hour",
+                                  max_count=MAXC,
+                                  order_cols=["ts", "turn_idx"])
+          .select("conv_id", "turn_idx", "tags").collect()}
+    assert op == exp
+
 
 def test_dlq_replay_stream(spark, tmp_path):
     """DLQ write -> streaming replay with a commit-offset start position."""

@@ -64,7 +64,7 @@ def compare(sf_dir: str, names: list[str] | None = None, spark=None):
         from logstash_spark.datahub.catalog import DATAHUB_CATALOG
     except ImportError:
         DATAHUB_CATALOG = {}
-    full = {**CATALOG, **DATAHUB_CATALOG}
+    full = {**DATAHUB_CATALOG, **CATALOG}  # same order as __spark_entry__
 
     if spark is None:
         from logstash_spark.session import get_spark
