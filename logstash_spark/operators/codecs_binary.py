@@ -477,3 +477,155 @@ def collectd_decode(df: DataFrame, source: str) -> DataFrame:
                 pd.DataFrame(columns=carry + out_cols)
 
     return df.mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# edn (logstash-codec-edn / -edn_lines, meta:12) — text format, but it
+# shares the decode->jsonable->from_json plumbing with msgpack above
+# ---------------------------------------------------------------------------
+
+class EdnError(ValueError):
+    pass
+
+
+_EDN_TOKEN = None  # compiled lazily
+
+
+def _edn_tokens(s: str):
+    import re as _re
+
+    global _EDN_TOKEN
+    if _EDN_TOKEN is None:
+        _EDN_TOKEN = _re.compile(r"""
+            (?P<ws>[,\s]+)
+          | (?P<comment>;[^\n]*)
+          | (?P<discard>\#_)
+          | (?P<set>\#\{)
+          | (?P<tag>\#[A-Za-z][\w./-]*)
+          | (?P<open>[\[\({])
+          | (?P<close>[\]\)}])
+          | (?P<string>"(?:\\.|[^"\\])*")
+          | (?P<char>\\(?:newline|return|space|tab|u[0-9a-fA-F]{4}|\S))
+          | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?[NM]?)
+          | (?P<kw_sym>[:]?[A-Za-z*+!_?$%&=<>.|/-][\w*+!?$%&=<>.:#|/-]*)
+        """, _re.VERBOSE)
+    pos = 0
+    while pos < len(s):
+        m = _EDN_TOKEN.match(s, pos)
+        if not m:
+            raise EdnError(f"bad edn at {pos}: {s[pos:pos+10]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group()
+    yield "eof", ""
+
+
+def _edn_parse(tokens):
+    kind, tok = next(tokens)
+    return _edn_value(kind, tok, tokens)
+
+
+def _edn_value(kind, tok, tokens):
+    import json as _json
+
+    if kind == "eof":
+        raise EdnError("truncated")
+    if kind == "discard":                      # #_ drops the next form
+        _edn_parse(tokens)
+        return _edn_parse(tokens)
+    if kind == "tag":                          # #inst/#uuid -> tagged value
+        v = _edn_parse(tokens)
+        return {"__edn_tag__": tok[1:], "value": v}
+    if kind == "string":
+        return _json.loads(tok)                # edn strings are JSON strings
+    if kind == "char":
+        c = tok[1:]
+        return {"newline": "\n", "return": "\r", "space": " ",
+                "tab": "\t"}.get(c, chr(int(c[1:], 16)) if c.startswith("u")
+                                 and len(c) == 5 else c)
+    if kind == "number":
+        t = tok.rstrip("NM")
+        return float(t) if any(x in t for x in ".eE") else int(t)
+    if kind == "kw_sym":
+        if tok == "nil":
+            return None
+        if tok == "true":
+            return True
+        if tok == "false":
+            return False
+        return tok.lstrip(":")                 # keyword/symbol -> bare name
+    if kind == "set":
+        out = []
+        for k, t in tokens:
+            if k == "close" and t == "}":
+                return out                     # sets -> arrays (JSON has none)
+            out.append(_edn_value(k, t, tokens))
+        raise EdnError("unclosed set")
+    if kind == "open":
+        closer = {"[": "]", "(": ")", "{": "}"}[tok]
+        out = []
+        for k, t in tokens:
+            if k == "close":
+                if t != closer:
+                    raise EdnError(f"mismatched {t!r}")
+                break
+            out.append(_edn_value(k, t, tokens))
+        else:
+            raise EdnError("unclosed form")
+        if tok == "{":
+            if len(out) % 2:
+                raise EdnError("odd map")
+            return {(k if isinstance(k, str) else repr(k)): v
+                    for k, v in zip(out[::2], out[1::2])}
+        return out
+    raise EdnError(f"unexpected {kind} {tok!r}")
+
+
+def edn_decode(df: DataFrame, source: str, schema: str,
+               target: str | None = None) -> DataFrame:
+    """edn codec decode: EDN text column -> ``schema`` columns.
+
+    Subset per the EDN spec: nil/bool, ints/floats (N/M suffixes accepted),
+    strings, chars, keywords/symbols (emitted as bare names — the reference
+    codec's EDN->event conversion does the same for map keys), vectors,
+    lists, maps, sets (-> arrays), ``#_`` discard, ``;`` comments, and
+    tagged literals (``#inst ...`` -> {__edn_tag__, value}).  Same
+    Arrow-batch decode -> JSON -> from_json plumbing as msgpack_decode;
+    failures tag ``_ednparsefailure``.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from logstash_spark.functions.decorators import add_tag
+    from logstash_spark.operators.parsers import json_filter
+
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def decode(batches):
+        for pdf in batches:
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    toks = _edn_tokens(s)
+                    v = _edn_parse(toks)
+                    kind, _ = next(toks)
+                    if kind != "eof":
+                        return None
+                    return _json.dumps(v)
+                except (EdnError, StopIteration, ValueError):
+                    return None
+
+            yield pdf.assign(__edn_json=pdf[source].map(one))
+
+    staged = df.mapInPandas(decode, carry_schema + ", __edn_json string")
+    failed = F.col(source).isNotNull() & F.col("__edn_json").isNull()
+    out = json_filter(staged, "__edn_json", schema, target=target)
+    out = out.withColumn(
+        "tags", F.array_remove(F.col("tags"), "_jsonparsefailure"))
+    out = add_tag(out, "_ednparsefailure", when=failed)
+    return out.drop("__edn_json")

@@ -700,7 +700,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
-                                "tcp", "pipeline"})
+                                "tcp", "pipeline", "iceberg"})
 
 
 class PipelineBus:
@@ -909,6 +909,17 @@ class LsclJob:
             tcp_sink(strip_metadata(df), a["host"], a["port"],
                      message_col=a.get("message_field"))
             return
+        if n.name == "iceberg":
+            # jar-gated: the north rule's table format — exactly-once MERGE
+            # on merge_keys; raises the exact submit recipe without the jar
+            from logstash_spark.functions.decorators import strip_metadata
+            from logstash_spark.sources.connectors import iceberg_merge_sink
+
+            keys = a.get("merge_keys", a.get("document_id"))
+            if not isinstance(keys, list):
+                keys = [keys]
+            iceberg_merge_sink(a["table"], keys)(strip_metadata(df), 0)
+            return
         raise AssertionError(n.name)
 
     # -- end to end ---------------------------------------------------------------
@@ -916,6 +927,127 @@ class LsclJob:
     def run(self, spark, stdin_df: DataFrame | None = None) -> DataFrame:
         out = self.pipeline(self.source(spark, stdin_df))
         return self.apply_outputs(out)
+
+    # -- streaming end to end ----------------------------------------------------
+
+    def source_stream(self, spark, stdin_df: DataFrame | None = None) -> DataFrame:
+        """Streaming variant of :meth:`source`.
+
+        file inputs become file-source streams (schema taken from a static
+        read of the same path, so the config needs no schema block — same
+        trick the reference's file input uses by sniffing the first lines);
+        kafka/tcp/syslog are already streams; stdin accepts a streaming
+        DataFrame; generator has no bounded streaming analog (use the rate
+        source directly).  Multiple inputs union like the batch path.
+        """
+        dfs = []
+        for n in self.inputs:
+            a = n.attrs
+            if n.name == "file":
+                paths = a["path"] if isinstance(a["path"], list) else [a["path"]]
+                codec = a.get("codec", "line")
+                if codec in ("line", "plain"):
+                    d = (spark.readStream.text(*paths)
+                         .withColumnRenamed("value", "message"))
+                elif codec in ("json_lines", "json"):
+                    schema = a.get("schema") or spark.read.json(*paths).schema
+                    d = spark.readStream.schema(schema).json(*paths)
+                elif codec == "parquet":
+                    schema = a.get("schema") or spark.read.parquet(*paths).schema
+                    d = spark.readStream.schema(schema).parquet(*paths)
+                else:
+                    raise SyntaxError(
+                        f"LSCL: unsupported streaming file codec {codec!r}")
+                dfs.append(d)
+            elif n.name == "generator":
+                raise SyntaxError(
+                    "LSCL: generator{} is a bounded batch input; for a "
+                    "streaming load source use spark.readStream.format('rate')")
+            else:
+                dfs.append(self._one_source(spark, n, stdin_df))
+        if not dfs:
+            raise SyntaxError("LSCL: config has no input section")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        if not out.isStreaming:
+            raise SyntaxError(
+                "LSCL: source_stream needs at least one streaming input "
+                "(file/kafka/tcp/syslog, or a streaming stdin_df)")
+        return out
+
+    def run_stream(self, spark, checkpoint_dir: str,
+                   stdin_df: DataFrame | None = None,
+                   available_now: bool = True,
+                   trigger_interval: str | None = None):
+        """Run the full config as ONE Structured Streaming query.
+
+        The output section is delivered per micro-batch through
+        ``foreachBatch`` — the exact reference lifecycle (worker loop ->
+        micro-batch; output stage -> per-batch delivery): file outputs
+        APPEND (the batch path's overwrite would clobber earlier batches),
+        es/tcp sinks reuse their batch writers on each micro-batch frame,
+        stdout/null are no-ops, pipeline sends are rejected (a streaming
+        bus hop is a durable intermediate table — streaming/jobs.py
+        run_parse_to_bus / run_bus_to_sessions).  Returns the started
+        StreamingQuery; checkpointing gives the usual kill/resume +
+        exactly-once-per-sink-idempotency contract.
+        """
+        for n in self.outputs:
+            if isinstance(n, PluginNode) and n.name == "pipeline":
+                raise SyntaxError(
+                    "LSCL: pipeline{} output in streaming mode — use a "
+                    "durable bus table (streaming/jobs.run_parse_to_bus) "
+                    "instead of the in-plan bus")
+        out = self.pipeline(self.source_stream(spark, stdin_df))
+
+        def deliver(batch_df, batch_id):
+            for n in self.outputs:
+                self._one_output_batch(batch_df, n)
+
+        w = (out.writeStream.outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .foreachBatch(deliver))
+        if available_now:
+            w = w.trigger(availableNow=True)
+        elif trigger_interval:
+            w = w.trigger(processingTime=trigger_interval)
+        return w.start()
+
+    def _one_output_batch(self, df: DataFrame, n) -> None:
+        """Per-micro-batch output delivery: file appends, others reuse the
+        batch writers (the micro-batch frame IS a batch DataFrame)."""
+        if isinstance(n, IfNode):
+            remaining = df
+            for expr, body in n.branches:
+                pred = compile_expr(expr, df)
+                for inner in body:
+                    self._one_output_batch(remaining.filter(pred), inner)
+                remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))
+            for inner in (n.else_nodes or []):
+                self._one_output_batch(remaining, inner)
+            return
+        if n.name == "file":
+            from logstash_spark.functions.decorators import strip_metadata
+
+            a = n.attrs
+            clean = strip_metadata(df)
+            codec = a.get("codec", "json_lines")
+            writer = clean.write.mode("append")
+            if codec == "json_lines":
+                writer.json(a["path"])
+            elif codec in ("line", "plain"):
+                col = a.get("message_field", "message")
+                clean.select(F.col(col).cast("string").alias("value")) \
+                     .write.mode("append").text(a["path"])
+            elif codec == "csv":
+                writer.option("header", "true").csv(a["path"])
+            elif codec == "parquet":
+                writer.parquet(a["path"])
+            else:
+                raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
+            return
+        self._one_output(df, n)  # stdout/null/es/tcp: batch writers apply
 
 
 def compile_lscl_job(config_text: str, context: dict | None = None) -> LsclJob:

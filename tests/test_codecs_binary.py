@@ -220,3 +220,47 @@ class TestCollectd:
         steal = [r for r in ok if r.type_instance == "steal"]
         assert steal[0].ds_type == "DERIVE" and steal[0].value == -5.0
         assert sum(r.collectd_failed for r in rows) == 1
+
+
+class TestEdn:
+    def test_decode_map(self, spark):
+        from logstash_spark.operators.codecs_binary import edn_decode
+
+        rows = [
+            ("a", '{:name "svc-1" :port 8080 :ratio 0.5 :on true '
+                  ':labels [:web :prod] :meta {:zone "us"} :skip #_ 99 nil}'),
+            ("b", "{:broken"),
+            ("c", None),
+        ]
+        df = spark.createDataFrame(rows, "id string, raw string")
+        out = edn_decode(
+            df, "raw",
+            "name string, port long, ratio double, on boolean, "
+            "labels array<string>, meta struct<zone:string>")
+        got = {r.id: r for r in out.collect()}
+        assert got["a"].name == "svc-1" and got["a"].port == 8080
+        assert got["a"].ratio == 0.5 and got["a"].on is True
+        assert list(got["a"].labels) == ["web", "prod"]
+        assert got["a"].meta.zone == "us"
+        assert "_ednparsefailure" not in (got["a"].tags or [])
+        assert "_ednparsefailure" in got["b"].tags
+        assert "_ednparsefailure" not in (got["c"].tags or [])
+
+    def test_parser_forms(self):
+        from logstash_spark.operators.codecs_binary import (_edn_parse,
+                                                            _edn_tokens)
+
+        def parse(s):
+            return _edn_parse(_edn_tokens(s))
+
+        assert parse("nil") is None and parse("true") is True
+        assert parse("42") == 42 and parse("-1.5e2") == -150.0
+        assert parse("42N") == 42 and parse("1.5M") == 1.5
+        assert parse('"a\\nb"') == "a\nb"
+        assert parse("(1 2 3)") == [1, 2, 3]
+        assert parse("#{1 2}") == [1, 2]
+        assert parse("\\newline") == "\n" and parse("\\u0041") == "A"
+        assert parse("; comment\n[1, 2]") == [1, 2]
+        assert parse('#inst "2024-01-01"') == \
+            {"__edn_tag__": "inst", "value": "2024-01-01"}
+        assert parse("{:a {:b [1 :kw]}}") == {"a": {"b": [1, "kw"]}}

@@ -346,3 +346,85 @@ def test_avro_decode_contract_or_gated(spark):
     except NotImplementedError as exc:
         assert "org.apache.spark:spark-avro" in str(exc)
         pytest.skip(f"spark-avro jar absent (gate verified): {exc}")
+
+
+# ---------------------------------------------------------------------------
+# LSCL streaming: run a full config as one Structured Streaming query
+# ---------------------------------------------------------------------------
+
+class TestLsclRunStream:
+    CFG = """
+    input {{ file {{ path => "{src}" codec => "parquet" }} }}
+    filter {{
+      grok {{ match => {{ "text" => "status=%{{INT:status:int}} bytes=%{{INT:bytes:int}} tool=%{{WORD:tool_name}} msg=%{{WORD:msg}}" }} }}
+      if "_grokparsefailure" in [tags] {{ drop {{}} }}
+      mutate {{ uppercase => ["tool_name"] }}
+    }}
+    output {{ file {{ path => "{out}" codec => "parquet" }} }}
+    """
+
+    def test_stream_equals_batch(self, spark, transcripts, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        transcripts.limit(3000).write.parquet(src)
+
+        job = compile_lscl_job(self.CFG.format(src=src, out=out))
+        q = job.run_stream(spark, checkpoint_dir=ckpt, available_now=True)
+        q.awaitTermination(120)
+
+        batch = compile_lscl_job(self.CFG.format(src=src, out="/dev/null"))
+        expected = batch.pipeline(batch.source(spark))
+        cols = ["conv_id", "turn_idx", "status", "tool_name"]
+        got = sorted(map(tuple, spark.read.parquet(out).select(cols).collect()))
+        want = sorted(map(tuple, expected.select(cols).collect()))
+        assert got and got == want
+
+    def test_resume_is_idempotent(self, spark, transcripts, tmp_path):
+        """Re-running with the same checkpoint after completion appends
+        nothing (offsets already committed)."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        src = str(tmp_path / "src2")
+        out = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+        transcripts.limit(500).write.parquet(src)
+        cfg = self.CFG.format(src=src, out=out)
+        job = compile_lscl_job(cfg)
+        job.run_stream(spark, checkpoint_dir=ckpt).awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        compile_lscl_job(cfg).run_stream(
+            spark, checkpoint_dir=ckpt).awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n1 == n2 > 0
+
+    def test_streaming_pipeline_output_rejected(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        import pytest as _pytest
+
+        job = compile_lscl_job(
+            'input { file { path => "/nonexistent" } } '
+            'output { pipeline { send_to => ["x"] } }')
+        with _pytest.raises(SyntaxError, match="durable bus"):
+            job.run_stream(spark, checkpoint_dir=str(tmp_path / "c"))
+
+
+def test_lscl_iceberg_output_gated(spark, transcripts):
+    """output { iceberg } wires onto the MERGE sink; without the runtime
+    jar it raises the exact submit recipe."""
+    from logstash_spark.plans.lscl import compile_lscl_job
+    from logstash_spark.sources.connectors import iceberg_available
+
+    job = compile_lscl_job("""
+    input { stdin {} }
+    output { iceberg { table => "lake.db.turns"
+                       merge_keys => ["conv_id", "turn_idx"] } }
+    """)
+    if iceberg_available(spark):
+        job.run(spark, stdin_df=transcripts.limit(5))
+    else:
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            job.run(spark, stdin_df=transcripts.limit(5))
