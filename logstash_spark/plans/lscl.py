@@ -24,8 +24,12 @@ expressions (`if / else if / else`, nesting) and the common-decorator
 attrs add_tag/remove_tag/add_field/remove_field applied under the
 plugin's success predicate (filters/base.rb:195-226).  `compile_lscl`
 compiles a filter-only config; `compile_lscl_job` compiles a COMPLETE
-config — input (generator/file/stdin), filter, output (stdout/file/null/
-elasticsearch/tcp) — onto sources/ and sinks/.
+config — inputs generator/file/stdin plus the stream inputs kafka (jar-
+gated)/tcp/syslog and the p2p `pipeline{address}`; outputs stdout/file/
+null/elasticsearch/tcp, `pipeline{send_to}` (PipelineBus plan composition)
+and the jar-gated iceberg MERGE sink — onto sources/ and sinks/.  Batch
+execution via `LsclJob.run`; `LsclJob.run_stream` runs the same config as
+ONE Structured Streaming query (foreachBatch output delivery, checkpointed).
 
 Scale note: the compiler output is exactly the hand-built Pipeline — same
 branch/union shapes, same Column reuse — so everything Catalyst does for
