@@ -288,6 +288,49 @@ def translate(df: DataFrame, source: str, dictionary: dict[str, str],
     return df.withColumn(target, looked)
 
 
+def load_dictionary_path(path: str) -> dict[str, str]:
+    """translate's `dictionary_path` loader (plugin supports YAML, JSON,
+    and 2-column CSV, sniffed by extension — meta:215).
+
+    Driver-side read at plan-build time, exactly like the reference's
+    load-on-start (+`refresh_interval` reload): the dict becomes either a
+    map literal (translate) or a broadcast dim (translate_join) — the
+    file itself is never shipped to executors.
+    """
+    import json as _json
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, encoding="utf-8") as f:
+        if ext in (".yml", ".yaml"):
+            # flat `key: value` YAML — the plugin's documented dict shape;
+            # quoted scalars and comments supported, nesting rejected
+            out: dict[str, str] = {}
+            for ln in f:
+                ln = ln.split("#", 1)[0].rstrip()
+                if not ln.strip():
+                    continue
+                if ln[0] in " \t":
+                    raise ValueError(
+                        f"translate dictionary_path {path}: nested YAML is "
+                        "not a flat dictionary")
+                k, _, v = ln.partition(":")
+                out[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            return out
+        if ext == ".json":
+            d = _json.load(f)
+            if not isinstance(d, dict):
+                raise ValueError(f"{path}: JSON dictionary must be an object")
+            return {str(k): str(v) for k, v in d.items()}
+        if ext == ".csv":
+            import csv as _csv
+
+            return {row[0]: row[1] for row in _csv.reader(f) if len(row) >= 2}
+    raise ValueError(
+        f"translate dictionary_path {path}: unsupported extension {ext!r} "
+        "(yml/yaml/json/csv)")
+
+
 def translate_join(df: DataFrame, source: str, dict_df: DataFrame,
                    key_col: str, value_col: str, target: str,
                    fallback: str | None = None) -> DataFrame:

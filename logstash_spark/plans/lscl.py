@@ -509,9 +509,13 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             return anonymize(df, flds if isinstance(flds, list) else [flds],
                              key=a.get("key", "secret"))
         if name == "translate":
-            from logstash_spark.operators.misc import translate
+            from logstash_spark.operators.misc import (load_dictionary_path,
+                                                       translate)
+            d = a.get("dictionary")
+            if d is None:
+                d = load_dictionary_path(a["dictionary_path"])
             return translate(df, a.get("source", a.get("field")),
-                             a["dictionary"],
+                             d,
                              a.get("target", "translation"),
                              fallback=a.get("fallback"),
                              exact=not a.get("regex", False))

@@ -144,3 +144,36 @@ def test_tld_matches_split_oracle(spark_prop, host):
     assert r.tld_tld == parts[-1]
     assert r.tld_domain == (".".join(parts[-2:]) if len(parts) >= 2 else None)
     assert r.tld_subdomain == (".".join(parts[:-2]) if len(parts) >= 3 else None)
+
+
+# -- msgpack decoder: round-trip against an independent test encoder ---------
+
+_mp_scalar = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+    st.binary(max_size=20),
+)
+_mp_value = st.recursive(
+    _mp_scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=6),
+        st.dictionaries(st.text(max_size=10), inner, max_size=6)),
+    max_leaves=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mp_value)
+def test_msgpack_decode_roundtrip(v):
+    """Pure decoder property: for any value the test encoder (written
+    independently from the msgpack.org spec) can emit, _mp_decode returns
+    the identical value and consumes exactly the payload."""
+    from logstash_spark.operators.codecs_binary import _mp_decode
+    from tests.test_codecs_binary import mp_enc
+
+    # uint64 range: values above 2**63-1 use the 0xcf family
+    wire = mp_enc(v)
+    got, end = _mp_decode(wire)
+    assert end == len(wire)
+    assert got == v

@@ -428,3 +428,38 @@ def test_lscl_iceberg_output_gated(spark, transcripts):
     else:
         with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
             job.run(spark, stdin_df=transcripts.limit(5))
+
+
+class TestTranslateDictionaryPath:
+    """translate's dictionary_path file loader (yml/json/csv, meta:215)."""
+
+    def _check(self, spark, tmp_path, fname, content):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        p = tmp_path / fname
+        p.write_text(content)
+        cfg = ('filter { translate { source => "tool" target => "cat" '
+               f'dictionary_path => "{p}" fallback => "other" }} }}')
+        df = spark.createDataFrame(
+            [("sql",), ("bash",), ("unknown",)], "tool string")
+        got = {r.tool: r.cat for r in compile_lscl(cfg)(df).collect()}
+        assert got == {"sql": "data", "bash": "code", "unknown": "other"}
+
+    def test_yaml(self, spark, tmp_path):
+        self._check(spark, tmp_path, "d.yml",
+                    "# tool categories\nsql: data\nbash: 'code'\n")
+
+    def test_json(self, spark, tmp_path):
+        self._check(spark, tmp_path, "d.json",
+                    '{"sql": "data", "bash": "code"}')
+
+    def test_csv(self, spark, tmp_path):
+        self._check(spark, tmp_path, "d.csv", "sql,data\nbash,code\n")
+
+    def test_nested_yaml_rejected(self, tmp_path):
+        from logstash_spark.operators.misc import load_dictionary_path
+
+        p = tmp_path / "bad.yml"
+        p.write_text("a:\n  b: c\n")
+        with pytest.raises(ValueError, match="flat dictionary"):
+            load_dictionary_path(str(p))
