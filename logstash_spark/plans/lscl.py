@@ -851,6 +851,8 @@ class LsclJob:
                 return spark.read.json(*paths)
             if codec == "parquet":
                 return spark.read.parquet(*paths)
+            if codec == "multiline":
+                return _file_multiline(spark, paths, a)
             raise SyntaxError(f"LSCL: unsupported file input codec {codec!r}")
         raise AssertionError(n.name)
 
@@ -1056,6 +1058,38 @@ class LsclJob:
                 raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
             return
         self._one_output(df, n)  # stdout/null/es/tcp: batch writers apply
+
+
+def _file_multiline(spark, paths: list[str], a: dict) -> DataFrame:
+    """file input with the multiline codec: fold continuation lines into
+    events PER FILE in true line order.
+
+    Line order in a distributed text scan: each scan partition covers a
+    contiguous byte range of one file (`_metadata.file_block_start`) and
+    `monotonically_increasing_id` is increasing within a partition — so
+    (file_path, block_start, mono_id) reconstructs the file's global line
+    order even when one file splits into several input partitions.  The
+    fold itself is operators/codecs.multiline_assemble keyed by file
+    (one shuffle on file_path — files assemble independently, which is
+    exactly the reference file-input x multiline-codec contract: each
+    watched file carries its own codec instance).
+    """
+    from pyspark.sql.window import Window
+
+    from logstash_spark.operators.codecs import multiline_assemble
+
+    lines = spark.read.text(*paths).select(
+        F.col("value").alias("message"),
+        F.col("_metadata.file_path").alias("path"),
+        F.col("_metadata.file_block_start").alias("__blk"),
+        F.monotonically_increasing_id().alias("__mid"))
+    w = Window.partitionBy("path").orderBy("__blk", "__mid")
+    lines = lines.withColumn("__line_no", F.row_number().over(w))
+    out = multiline_assemble(
+        lines, "message", "path", "__line_no",
+        pattern=a["pattern"], negate=bool(a.get("negate", False)),
+        what=a.get("what", "previous"))
+    return out.withColumnRenamed("first___line_no", "first_line_no")
 
 
 def compile_lscl_job(config_text: str, context: dict | None = None) -> LsclJob:

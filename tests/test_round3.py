@@ -463,3 +463,38 @@ class TestTranslateDictionaryPath:
         p.write_text("a:\n  b: c\n")
         with pytest.raises(ValueError, match="flat dictionary"):
             load_dictionary_path(str(p))
+
+
+def test_lscl_file_multiline_codec(spark, tmp_path):
+    """file input + multiline codec: stacktrace continuation lines fold
+    into their parent event, per file, in true line order."""
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app1.log").write_text(
+        "ERROR boom\n"
+        "  at Foo.bar(Foo.java:1)\n"
+        "  at Baz.qux(Baz.java:2)\n"
+        "INFO fine\n"
+        "ERROR again\n"
+        "  at X.y(X.java:9)\n")
+    (d / "app2.log").write_text(
+        "INFO other-file\n"
+        "  continuation belongs here\n")
+
+    job = compile_lscl_job(f"""
+    input {{ file {{ path => "{d}" codec => "multiline"
+                     pattern => "^ " negate => false what => "previous" }} }}
+    output {{ null {{}} }}
+    """)
+    out = job.run(spark)
+    events = sorted(((r.path.rsplit("/", 1)[-1], r.message, r.n_lines)
+                     for r in out.collect()))
+    assert events == [
+        ("app1.log", "ERROR again\n  at X.y(X.java:9)", 2),
+        ("app1.log",
+         "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)", 3),
+        ("app1.log", "INFO fine", 1),
+        ("app2.log", "INFO other-file\n  continuation belongs here", 2),
+    ]
