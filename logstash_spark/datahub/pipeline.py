@@ -36,3 +36,55 @@ def corpus_clean(
     return (hashed.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__h"))
+
+
+def corpus_clean_fuzzy(
+    df: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """The full 100 TB cleaning pass: language gate -> quality gate ->
+    exact dedup -> NEAR-dup clustering, emitting surviving documents.
+
+    Stage shapes (all reusing the tested pieces):
+      1. lang/quality: pure Columns, fused into the scan (corpus_clean).
+      2. exact dedup: one shuffle on the content hash.
+      3. MinHash+LSH candidate pairs over the survivors
+         (dedup.minhash_lsh_dedup — shingle explode, sig agg, band join).
+      4. optional exact n-gram Jaccard verification of the candidates
+         (bounded: only LSH candidates are scored, never all pairs) —
+         kills LSH false positives before they merge clusters.
+      5. connected components -> keeper per near-dup group
+         (components.dedup_groups).
+
+    Returns the kept documents (doc_id, pred_lang, quality) — group
+    members that lost to their keeper are dropped, like the exact stage.
+    """
+    from pyspark.sql import functions as F
+
+    from logstash_spark.datahub.components import dedup_groups
+    from logstash_spark.datahub.dedup import (minhash_lsh_dedup,
+                                              ngram_jaccard_pairs)
+
+    exact = corpus_clean(df, lang=lang, min_quality=min_quality,
+                         text_col=text_col).select(id_col, "pred_lang",
+                                                   "quality")
+    survivors = df.select(id_col, text_col).join(exact, id_col)
+    pairs = minhash_lsh_dedup(survivors, text_col=text_col, id_col=id_col,
+                              n_hashes=n_hashes, band_size=band_size)
+    if jaccard_threshold is not None:
+        cand = pairs.withColumnRenamed("a", "ca").withColumnRenamed("b", "cb")
+        verified = ngram_jaccard_pairs(
+            survivors, text_col=text_col, id_col=id_col,
+            threshold=jaccard_threshold)
+        pairs = (verified.join(
+            cand, (verified.a == cand.ca) & (verified.b == cand.cb))
+            .select("a", "b"))
+    groups = dedup_groups(survivors, pairs, id_col=id_col)
+    return (survivors.join(groups.filter("is_keeper").select(id_col), id_col)
+            .select(id_col, "pred_lang", "quality"))

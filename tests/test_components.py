@@ -90,3 +90,22 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(30)], "a long, b long")
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(df, max_iter=2)
+
+
+def test_corpus_clean_fuzzy(spark, sf_dir):
+    """Fuzzy pass keeps a subset of the exact pass; near-dup losers are
+    exactly the non-keeper members of multi-doc groups."""
+    from logstash_spark.datahub.pipeline import corpus_clean, corpus_clean_fuzzy
+    from logstash_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    exact = corpus_clean(docs)
+    fuzzy = corpus_clean_fuzzy(docs)
+    n_exact, n_fuzzy = exact.count(), fuzzy.count()
+    assert 0 < n_fuzzy <= n_exact
+    # kept set is a subset of the exact-pass survivors
+    assert fuzzy.join(exact.select("doc_id"), "doc_id").count() == n_fuzzy
+    # no verification: strictly more aggressive (or equal)
+    loose = corpus_clean_fuzzy(docs, jaccard_threshold=None)
+    assert loose.count() <= n_fuzzy
