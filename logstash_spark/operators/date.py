@@ -64,15 +64,44 @@ def _parse_one(col: Column, fmt: str) -> Column:
     return F.try_to_timestamp(col, F.lit(joda_to_java(fmt)))
 
 
+_ZONE_TOKENS = re.compile(r"[XxZzOV]")
+
+
+def _has_zone(fmt: str) -> bool:
+    """True when the pattern (or special format) carries its own offset."""
+    if fmt in ("ISO8601", "UNIX", "UNIX_MS", "TAI64N"):
+        return True  # epoch / self-describing formats are zone-complete
+    return bool(_ZONE_TOKENS.search(re.sub(r"'[^']*'", "", fmt)))
+
+
 def date(
     df: DataFrame,
     source: str,
     formats: list[str],
     target: str = "@timestamp",
     tag_on_failure: str = "_dateparsefailure",
+    timezone: str | None = None,
 ) -> DataFrame:
-    """Try each format in order; write first success to `target`."""
+    """Try each format in order; write first success to `target`.
+
+    ``timezone`` mirrors the plugin's option: the zone ASSUMED for patterns
+    that carry no offset of their own (plugin docs: "used when the parsed
+    format doesn't include a timezone").  A zone-less pattern parses as a
+    session-local (UTC here) wall time; `to_utc_timestamp` reinterprets
+    that wall time in `timezone` and converts to UTC.  Patterns with
+    offset tokens (X/x/Z/z/O/V) and the epoch/ISO specials are untouched.
+    A ``%{field}`` template resolves the zone per event (sprintf form).
+    """
     src = F.col(source)
-    parsed = F.coalesce(*[_parse_one(src, f) for f in formats])
+
+    def one(fmt: str) -> Column:
+        p = _parse_one(src, fmt)
+        if timezone is None or _has_zone(fmt):
+            return p
+        m = re.fullmatch(r"%\{(.+)\}", timezone)
+        tz = F.col(m.group(1)) if m else F.lit(timezone)
+        return F.to_utc_timestamp(p, tz)
+
+    parsed = F.coalesce(*[one(f) for f in formats])
     df = df.withColumn(target, parsed)
     return add_tag(df, tag_on_failure, when=parsed.isNull())

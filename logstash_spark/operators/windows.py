@@ -268,3 +268,33 @@ def elapsed_expired(df: DataFrame, key_col: str, ts_col: str,
         "left_anti",
     )
     return add_tag(expired, "elapsed_expired_error")
+
+
+def metrics_timer(df: DataFrame, ts_col: str, keys: list[str],
+                  value_col: str, size: str = "1 hour",
+                  percentiles: tuple = (0.5, 0.9, 0.95, 0.99),
+                  accuracy: int = 10000) -> DataFrame:
+    """metrics filter `timer` mode (meta:181): per-key windowed latency
+    stats — count/min/max/mean/stddev plus percentiles.
+
+    Percentiles use `percentile_approx` (Greenwald-Khanna sketch): a
+    mergeable partial aggregate, so map-side combine applies and the
+    shuffle carries one sketch per (window, key) instead of raw values —
+    the only percentile shape that survives 100 TB.  `accuracy` trades
+    sketch size for error (1/accuracy relative rank error).
+    """
+    w = F.window(F.col(ts_col), size)
+    pct = F.percentile_approx(
+        value_col, F.array(*[F.lit(p) for p in percentiles]), accuracy)
+    out = (df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min(value_col).alias("min"),
+                F.max(value_col).alias("max"),
+                F.avg(value_col).alias("mean"),
+                F.stddev_samp(value_col).alias("stddev"),
+                pct.alias("__pcts"))
+           .withColumn("window_start", F.col("w.start")).drop("w"))
+    for i, p in enumerate(percentiles):
+        name = f"p{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        out = out.withColumn(name, F.col("__pcts")[i])
+    return out.drop("__pcts")

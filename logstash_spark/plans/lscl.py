@@ -462,7 +462,8 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
         if name == "date":
             m = a["match"]
             from logstash_spark.operators.date import date
-            return date(df, m[0], m[1:], target=a.get("target", "@timestamp"))
+            return date(df, m[0], m[1:], target=a.get("target", "@timestamp"),
+                        timezone=a.get("timezone"))
         if name == "kv":
             from logstash_spark.operators.parsers import kv
             return kv(df, a.get("source", "message"),

@@ -498,3 +498,45 @@ def test_lscl_file_multiline_codec(spark, tmp_path):
         ("app1.log", "INFO fine", 1),
         ("app2.log", "INFO other-file\n  continuation belongs here", 2),
     ]
+
+
+def test_date_timezone_option(spark):
+    """Zone-less patterns assume `timezone`; offset patterns are untouched;
+    %{field} resolves the zone per event (plugin's sprintf form)."""
+    from logstash_spark.operators.date import date
+
+    df = spark.createDataFrame(
+        [("2024-06-01 12:00:00", "America/New_York"),
+         ("2024-06-01 12:00:00", "UTC")],
+        "raw string, tz string")
+    out = date(df, "raw", ["yyyy-MM-dd HH:mm:ss"], target="t",
+               timezone="America/New_York")
+    ts = sorted(r.t.isoformat() for r in out.collect())
+    assert ts == ["2024-06-01T16:00:00"] * 2  # EDT = UTC-4 in June
+
+    per_event = date(df, "raw", ["yyyy-MM-dd HH:mm:ss"], target="t",
+                     timezone="%{tz}")
+    got = {r.tz: r.t.isoformat() for r in per_event.collect()}
+    assert got == {"America/New_York": "2024-06-01T16:00:00",
+                   "UTC": "2024-06-01T12:00:00"}
+
+    # a pattern WITH an offset ignores the option
+    df2 = spark.createDataFrame([("2024-06-01 12:00:00 +0200",)], "raw string")
+    out2 = date(df2, "raw", ["yyyy-MM-dd HH:mm:ss Z"], target="t",
+                timezone="America/New_York")
+    assert out2.collect()[0].t.isoformat() == "2024-06-01T10:00:00"
+
+
+def test_metrics_timer_percentiles(spark, transcripts):
+    from pyspark.sql import functions as F
+    from logstash_spark.operators.windows import metrics_timer
+
+    t = transcripts.withColumn("latency", (F.col("turn_idx") % 100).cast("double"))
+    out = metrics_timer(t, "ts", ["role"], "latency", size="365 days",
+                        percentiles=(0.5, 0.99), accuracy=10000)
+    rows = out.collect()
+    assert rows and {"n", "min", "max", "mean", "stddev", "p50", "p99"} <= \
+        set(out.columns)
+    for r in rows:
+        assert r.min <= r.p50 <= r.p99 <= r.max
+        assert r.n > 0 and r.stddev is not None
