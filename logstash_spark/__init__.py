@@ -27,6 +27,7 @@ _EXPORTS = {
     "Pipeline": ("logstash_spark.plans.pipeline", "Pipeline"),
     "Stage": ("logstash_spark.plans.pipeline", "Stage"),
     "If": ("logstash_spark.plans.pipeline", "If"),
+    "PipelineBus": ("logstash_spark.plans.lscl", "PipelineBus"),
 }
 
 __all__ = list(_EXPORTS)
