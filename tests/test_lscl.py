@@ -338,3 +338,18 @@ def test_in_type_dispatch(spark):
     assert run('7 in [n]') == {"a"}
     # rhs literal list: membership (unchanged)
     assert run('[id] in ["b", "c"]') == {"b"}
+
+
+def test_examples_compile(spark):
+    """Every shipped example config must parse and validate."""
+    import glob
+    import os
+
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    confs = sorted(glob.glob(os.path.join(root, "*.conf")))
+    assert len(confs) >= 4
+    for f in confs:
+        job = compile_lscl_job(open(f).read())
+        assert job.inputs and job.outputs, f
