@@ -410,7 +410,21 @@ _SUPPORTED_PLUGINS = frozenset({
     # community set (operators/community.py)
     "bytes", "cipher", "environment", "extractnumbers", "json_encode",
     "metricize", "tld", "age", "alter", "range",
+    # stateful plugins (operators/windows.py) — plugin-shaped attrs
+    "throttle", "elapsed", "aggregate",
 })
+
+
+def _sprintf_field(v: str, attr: str) -> str:
+    """Plugin attrs like task_id/key take a `%{field}` sprintf; we support
+    the single-field form (the overwhelmingly common shape) as a grouping
+    key — composite keys need a precomputed column."""
+    m = re.fullmatch(r"%\{([^}]+)\}", str(v))
+    if m:
+        return m.group(1)
+    raise SyntaxError(
+        f"LSCL: {attr} must be a single-field sprintf like %{{conv_id}} "
+        f"(got {v!r}); precompute composite keys into one column")
 
 
 def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
@@ -625,6 +639,44 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
                 f_, lo, hi, action = r[i:i + 4]
                 specs.append((f_, lo, hi, action))
             return range_filter(df, specs, negate=a.get("negate", False))
+        if name == "throttle":
+            # logstash-filter-throttle (meta:211): after_count semantics,
+            # key = %{field}, period in seconds; tags `throttled` excess
+            from logstash_spark.operators.windows import throttle as _throttle
+            key = _sprintf_field(a["key"], "throttle.key")
+            period = f'{int(a.get("period", 3600))} seconds'
+            return _throttle(df, a.get("timestamp_field", "ts"), [key],
+                             period, max_count=int(a.get("after_count", 1)),
+                             order_cols=a.get("order_by"))
+        if name == "elapsed":
+            # logstash-filter-elapsed: start/end tagged events correlated
+            # by unique_id_field within timeout; emits the match events
+            # (the plugin's new_event_on_match=true shape)
+            from logstash_spark.operators.windows import elapsed_join
+            key = a["unique_id_field"]
+            if str(key).startswith("%{"):
+                key = _sprintf_field(key, "elapsed.unique_id_field")
+            timeout = int(a.get("timeout", 1800))
+            return elapsed_join(
+                df, key, a.get("timestamp_field", "ts"),
+                start_pred=F.array_contains("tags", a["start_tag"]),
+                end_pred=F.array_contains("tags", a["end_tag"]),
+                max_lag=f"interval {timeout} seconds")
+        if name == "aggregate":
+            # logstash-filter-aggregate, timeout/push-map mode: sessionize
+            # by task_id with the standard summary aggs.  The `code` attr
+            # is arbitrary Ruby — rejected with the escape hatch pointer.
+            if "code" in a:
+                raise SyntaxError(
+                    "LSCL: aggregate.code is arbitrary Ruby; express the "
+                    "aggregation with operators/windows.session_rollup "
+                    "aggs=... in Python, or operators/custom.batch_filter "
+                    "(the Arrow-batch ruby analog)")
+            from logstash_spark.operators.windows import session_rollup
+            key = _sprintf_field(a["task_id"], "aggregate.task_id")
+            timeout = int(a.get("timeout", 1800))
+            return session_rollup(df, a.get("timeout_timestamp_field", "ts"),
+                                  key, f"{timeout} seconds")
         raise SyntaxError(
             f"LSCL: unsupported filter plugin {name!r} (supported: see "
             f"logstash_spark/plans/lscl.py docstring)")
@@ -634,7 +686,8 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
     # prune/de_dot rewrite the whole schema (they'd eat the fused path's
     # snapshot columns)
     row_local = name not in ("drop", "clone", "split", "prune", "de_dot",
-                             "metricize", "range")
+                             "metricize", "range",
+                             "throttle", "elapsed", "aggregate")
 
     if not (add_tags or remove_tags or add_fields or remove_fields):
         return Stage(op, name, row_local=row_local)

@@ -540,3 +540,69 @@ def test_metrics_timer_percentiles(spark, transcripts):
     for r in rows:
         assert r.min <= r.p50 <= r.p99 <= r.max
         assert r.n > 0 and r.stddev is not None
+
+
+class TestLsclStatefulPlugins:
+    """throttle/elapsed/aggregate reachable from LSCL text with the
+    plugin-shaped attrs, matching the direct operator calls."""
+
+    def test_throttle(self, spark, transcripts):
+        from logstash_spark.plans.lscl import compile_lscl
+        from logstash_spark.operators.windows import throttle
+
+        cfg = ('filter { throttle { key => "%{conv_id}" period => 604800 '
+               'after_count => 10 order_by => ["ts", "turn_idx"] } }')
+        got = {(r.conv_id, r.turn_idx, "throttled" in (r.tags or []))
+               for r in compile_lscl(cfg)(transcripts)
+               .select("conv_id", "turn_idx", "tags").collect()}
+        want = {(r.conv_id, r.turn_idx, "throttled" in (r.tags or []))
+                for r in throttle(transcripts, "ts", ["conv_id"],
+                                  "604800 seconds", max_count=10,
+                                  order_cols=["ts", "turn_idx"])
+                .select("conv_id", "turn_idx", "tags").collect()}
+        assert got == want and any(t for _, _, t in got)
+
+    def test_elapsed(self, spark, transcripts):
+        from pyspark.sql import functions as F
+        from logstash_spark.plans.lscl import compile_lscl
+
+        cfg = """filter {
+          if [role] == "user" { mutate { add_tag => ["req"] } }
+          else { mutate { add_tag => ["rsp"] } }
+          elapsed { start_tag => "req" end_tag => "rsp"
+                    unique_id_field => "conv_id" timeout => 7200 }
+        }"""
+        out = compile_lscl(cfg)(transcripts)
+        rows = out.limit(50).collect()
+        assert rows
+        assert all(0 < r.elapsed_sec <= 7200 for r in rows)
+        assert {"conv_id", "start_ts", "end_ts", "elapsed_sec"} <= set(out.columns)
+
+    def test_aggregate_sessionize(self, spark, transcripts):
+        from logstash_spark.plans.lscl import compile_lscl
+        from logstash_spark.operators.windows import session_rollup
+
+        cfg = ('filter { aggregate { task_id => "%{conv_id}" '
+               'timeout => 1800 } }')
+        got = {(r.conv_id, r.session_start, r.n_turns)
+               for r in compile_lscl(cfg)(transcripts).collect()}
+        want = {(r.conv_id, r.session_start, r.n_turns)
+                for r in session_rollup(transcripts, "ts", "conv_id",
+                                        "1800 seconds").collect()}
+        assert got == want and got
+
+    def test_aggregate_code_rejected(self, spark, transcripts):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        pipe = compile_lscl('filter { aggregate { task_id => "%{c}" '
+                            'code => "map[:n] += 1" } }')
+        with pytest.raises(SyntaxError, match="batch_filter"):
+            pipe(transcripts)
+
+    def test_composite_key_rejected(self, spark, transcripts):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        pipe = compile_lscl('filter { throttle { key => "%{a}%{b}" '
+                            'period => 60 after_count => 1 } }')
+        with pytest.raises(SyntaxError, match="single-field sprintf"):
+            pipe(transcripts)
