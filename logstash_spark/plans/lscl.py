@@ -411,7 +411,7 @@ _SUPPORTED_PLUGINS = frozenset({
     "bytes", "cipher", "environment", "extractnumbers", "json_encode",
     "metricize", "tld", "age", "alter", "range",
     # stateful plugins (operators/windows.py) — plugin-shaped attrs
-    "throttle", "elapsed", "aggregate",
+    "throttle", "elapsed", "aggregate", "metrics",
 })
 
 
@@ -662,6 +662,33 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
                 start_pred=F.array_contains("tags", a["start_tag"]),
                 end_pred=F.array_contains("tags", a["end_tag"]),
                 max_lag=f"interval {timeout} seconds")
+        if name == "metrics":
+            # logstash-filter-metrics (meta:181): meter -> windowed counts
+            # + rate; timer -> count/min/max/mean/stddev + percentiles.
+            # flush_interval (default 5s in the reference's processing-time
+            # model) becomes the event-time window size.
+            from logstash_spark.operators.windows import (metrics_timer,
+                                                          tumbling_rollup)
+            size = f'{int(a.get("flush_interval", 3600))} seconds'
+            ts_col = a.get("timestamp_field", "ts")
+            if "timer" in a:
+                (tname, tfield), = a["timer"].items() if isinstance(
+                    a["timer"], dict) else [tuple(a["timer"])]
+                if str(tfield).startswith("%{"):
+                    tfield = _sprintf_field(tfield, "metrics.timer")
+                out = metrics_timer(df, ts_col, [], tfield, size=size,
+                                    percentiles=tuple(
+                                        p / 100 for p in a.get(
+                                            "percentiles", [50, 90, 95, 99])))
+                return out.withColumn("metric_name", F.lit(tname))
+            meter = a["meter"]
+            key = _sprintf_field(meter if not isinstance(meter, list)
+                                 else meter[0], "metrics.meter")
+            secs = int(a.get("flush_interval", 3600))
+            out = tumbling_rollup(df, ts_col, size, [key],
+                                  [F.count(F.lit(1)).alias("count")])
+            return out.withColumn("rate_per_sec",
+                                  F.col("count") / F.lit(secs))
         if name == "aggregate":
             # logstash-filter-aggregate, timeout/push-map mode: sessionize
             # by task_id with the standard summary aggs.  The `code` attr
@@ -687,7 +714,7 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
     # snapshot columns)
     row_local = name not in ("drop", "clone", "split", "prune", "de_dot",
                              "metricize", "range",
-                             "throttle", "elapsed", "aggregate")
+                             "throttle", "elapsed", "aggregate", "metrics")
 
     if not (add_tags or remove_tags or add_fields or remove_fields):
         return Stage(op, name, row_local=row_local)

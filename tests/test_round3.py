@@ -606,3 +606,24 @@ class TestLsclStatefulPlugins:
                             'period => 60 after_count => 1 } }')
         with pytest.raises(SyntaxError, match="single-field sprintf"):
             pipe(transcripts)
+
+
+def test_lscl_metrics_meter_and_timer(spark, transcripts):
+    from pyspark.sql import functions as F
+    from logstash_spark.plans.lscl import compile_lscl
+
+    meter = compile_lscl(
+        'filter { metrics { meter => "%{role}" flush_interval => 86400 } }'
+    )(transcripts)
+    rows = meter.collect()
+    assert rows and {"window_start", "role", "count", "rate_per_sec"} <= \
+        set(meter.columns)
+    assert all(abs(r.rate_per_sec - r["count"] / 86400) < 1e-9 for r in rows)
+
+    staged = transcripts.withColumn(
+        "latency", (F.col("turn_idx") % 30).cast("double"))
+    timer = compile_lscl(
+        'filter { metrics { timer => { "req_latency" => "%{latency}" } '
+        'flush_interval => 2592000 percentiles => [50, 99] } }')(staged)
+    r = timer.first()
+    assert r.metric_name == "req_latency" and r.min <= r.p50 <= r.p99 <= r.max
