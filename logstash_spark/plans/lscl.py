@@ -406,7 +406,7 @@ _SUPPORTED_PLUGINS = frozenset({
     "grok", "dissect", "mutate", "date", "kv", "csv", "json", "xml", "yaml",
     "fingerprint", "uuid", "anonymize", "translate", "prune", "de_dot",
     "truncate", "urldecode", "syslog_pri", "cidr", "drop", "clone",
-    "split", "useragent", "geoip",
+    "split", "useragent", "geoip", "dns", "jdbc_static", "lookup",
     # community set (operators/community.py)
     "bytes", "cipher", "environment", "extractnumbers", "json_encode",
     "metricize", "tld", "age", "alter", "range",
@@ -580,6 +580,33 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
                     "(cidr network/country/city columns — see "
                     "operators/enrich.cidr_blocks_df)")
             return geoip(df, a.get("source", "message"), blocks)
+        if name == "dns":
+            from logstash_spark.operators.enrich import dns_filter
+            records = context.get("dns_records")
+            if records is None:
+                raise SyntaxError(
+                    "LSCL: dns needs context={'dns_records': <DataFrame of "
+                    "(name, address)>} — a resolver snapshot; per-event DNS "
+                    "RPC is deliberately not offered (SURVEY §2.3)")
+            src = a.get("resolve", a.get("reverse", a.get("source")))
+            if isinstance(src, list):
+                src = src[0]
+            if str(src).startswith("%{"):
+                src = _sprintf_field(src, "dns.resolve")
+            return dns_filter(df, src, records,
+                              action=a.get("action", "replace"),
+                              reverse="reverse" in a)
+        if name == "jdbc_static" or name == "lookup":
+            from logstash_spark.operators.lookup import lookup
+            dim = context.get("lookup_dim")
+            if dim is None:
+                raise SyntaxError(
+                    "LSCL: jdbc_static/lookup needs context={'lookup_dim': "
+                    "<dim DataFrame>} (the cached local_db_object analog)")
+            return lookup(df, a["source"], dim, a.get("key", a["source"]),
+                          fetch=a.get("fetch", {}),
+                          defaults=a.get("defaults", {}),
+                          tag_on_miss=a.get("tag_on_failure", "_lookup_miss"))
         if name == "bytes":
             from logstash_spark.operators.community import bytes_filter
             return bytes_filter(df, a.get("source", "message"),

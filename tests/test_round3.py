@@ -627,3 +627,34 @@ def test_lscl_metrics_meter_and_timer(spark, transcripts):
         'flush_interval => 2592000 percentiles => [50, 99] } }')(staged)
     r = timer.first()
     assert r.metric_name == "req_latency" and r.min <= r.p50 <= r.p99 <= r.max
+
+
+def test_lscl_dns_and_lookup_context(spark, transcripts):
+    """dns + jdbc_static reachable from LSCL with context-passed snapshots
+    (the resolver/db-cache analogs)."""
+    from pyspark.sql import functions as F
+    from logstash_spark.plans.lscl import compile_lscl
+
+    records = spark.createDataFrame(
+        [("assistant.example.com", "10.0.0.1")], "name string, address string")
+    dim = spark.createDataFrame(
+        [("sql", "data"), ("bash", "code")], "tool string, category string")
+    staged = transcripts.withColumn(
+        "host", F.concat("role", F.lit(".example.com")))
+    cfg = """filter {
+      dns { resolve => ["host"] action => "replace" }
+      jdbc_static { source => "tool" key => "tool"
+                    fetch => { "category" => "tool_cat" }
+                    defaults => { "tool_cat" => "other" } }
+    }"""
+    out = compile_lscl(cfg, context={"dns_records": records,
+                                     "lookup_dim": dim})(staged)
+    rows = out.limit(500).collect()
+    resolved = [r for r in rows if r.host == "10.0.0.1"]
+    missed = [r for r in rows if "_dnsfailure" in (r.tags or [])]
+    assert resolved and missed
+    assert {r.tool_cat for r in rows} <= {"data", "code", "other"}
+
+    import pytest as _pytest
+    with _pytest.raises(SyntaxError, match="dns_records"):
+        compile_lscl('filter { dns { resolve => ["host"] } }')(staged)
