@@ -436,6 +436,11 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
     analog — the reference ships a database file, we take a DataFrame).
     """
     context = context or {}
+    if node.name == "ruby":
+        raise SyntaxError(
+            "LSCL: ruby { code => ... } is arbitrary per-event Ruby; use "
+            "operators/custom.batch_filter (the Arrow-batch escape hatch: "
+            "pandas in, pandas out, 1->N rows) from Python")
     if node.name not in _SUPPORTED_PLUGINS:
         raise SyntaxError(
             f"LSCL: unsupported filter plugin {node.name!r} (supported: "

@@ -70,6 +70,18 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
             raise ValueError("kafka_source codec=json_lines needs a schema")
         return raw.select(F.from_json(val, schema).alias("j"), *meta) \
                   .select("j.*", *[c for c in ("topic", "partition", "offset", "kafka_ts")])
+    if codec == "msgpack":
+        from logstash_spark.operators.codecs_binary import msgpack_decode
+
+        if not schema:
+            raise ValueError("kafka_source codec=msgpack needs a schema")
+        staged = raw.select(F.col("value").alias("__raw"), *meta)
+        return msgpack_decode(staged, "__raw", schema).drop("__raw")
+    if codec == "fluent":
+        from logstash_spark.operators.codecs_binary import fluent_decode
+
+        staged = raw.select(F.col("value").alias("__raw"), *meta)
+        return fluent_decode(staged, "__raw")
     raise ValueError(f"unsupported kafka codec {codec!r}")
 
 

@@ -658,3 +658,25 @@ def test_lscl_dns_and_lookup_context(spark, transcripts):
     import pytest as _pytest
     with _pytest.raises(SyntaxError, match="dns_records"):
         compile_lscl('filter { dns { resolve => ["host"] } }')(staged)
+
+
+def test_lscl_ruby_rejected_with_escape_hatch():
+    from logstash_spark.plans.lscl import compile_lscl
+
+    with pytest.raises(SyntaxError, match="batch_filter"):
+        compile_lscl('filter { ruby { code => "event.cancel" } }')
+
+
+def test_kafka_binary_codec_dispatch(spark):
+    """msgpack/fluent codec paths on the kafka source: jar-gated like the
+    rest; with the jar absent the gate fires before codec dispatch."""
+    from logstash_spark.sources.connectors import kafka_available, kafka_source
+
+    if not kafka_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_source(spark, "h:9092", "t", codec="msgpack", schema="i long")
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            kafka_source(spark, "h:9092", "t", codec="fluent")
+    else:
+        src = kafka_source(spark, "h:9092", "t", codec="fluent")
+        assert {"fluent_tag", "fluent_time", "record"} <= set(src.columns)
