@@ -876,6 +876,7 @@ class LsclJob:
         self.context = context or {}
         self.inputs = sections.get("input", [])
         self.outputs = sections.get("output", [])
+        self.filter_nodes = sections.get("filter", [])
         self.pipeline = Pipeline(compile_items(sections.get("filter", []),
                                                self.context))
         for n in self.inputs:
@@ -1122,6 +1123,30 @@ class LsclJob:
                     "LSCL: pipeline{} output in streaming mode — use a "
                     "durable bus table (streaming/jobs.run_parse_to_bus) "
                     "instead of the in-plan bus")
+        # the batch shapes of the stateful plugins (ranking window, plain
+        # time-bounded join, un-watermarked session groupBy) are not legal
+        # in a streaming plan; fail at submit with the streaming twins
+        _STREAM_TWINS = {
+            "throttle": "streaming/stateful.throttle_stream",
+            "elapsed": "streaming/jobs.elapsed_stream_join",
+            "aggregate": "streaming/jobs.session_rollup_stream "
+                         "(or streaming/stateful.aggregate_stateful_stream)",
+            "metrics": "streaming/jobs.rollup_stream",
+        }
+
+        def _walk(nodes):
+            for fn in nodes:
+                if isinstance(fn, IfNode):
+                    for _, body in fn.branches:
+                        _walk(body)
+                    _walk(fn.else_nodes or [])
+                elif fn.name in _STREAM_TWINS:
+                    raise SyntaxError(
+                        f"LSCL: {fn.name}{{}} uses a batch-only plan shape; "
+                        f"in streaming compose {_STREAM_TWINS[fn.name]} "
+                        f"around the stateless part of this config")
+
+        _walk(self.filter_nodes)
         out = self.pipeline(self.source_stream(spark, stdin_df))
 
         def deliver(batch_df, batch_id):

@@ -680,3 +680,17 @@ def test_kafka_binary_codec_dispatch(spark):
     else:
         src = kafka_source(spark, "h:9092", "t", codec="fluent")
         assert {"fluent_tag", "fluent_time", "record"} <= set(src.columns)
+
+
+def test_run_stream_rejects_batch_only_stateful(spark, tmp_path):
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    job = compile_lscl_job("""
+    input { file { path => "/nonexistent" } }
+    filter {
+      if [x] == 1 { throttle { key => "%{k}" period => 60 after_count => 1 } }
+    }
+    output { null {} }
+    """)
+    with pytest.raises(SyntaxError, match="throttle_stream"):
+        job.run_stream(spark, checkpoint_dir=str(tmp_path / "c"))
