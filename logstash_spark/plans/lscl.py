@@ -15,14 +15,18 @@ to a DataFrame DAG:
     out = pipe(df)
 
 Supported subset: the filter-section plugins implemented in
-logstash_spark.operators (grok, dissect, mutate, date, kv, csv, json, xml,
-yaml, fingerprint, uuid, anonymize, translate, prune, de_dot, truncate,
-urldecode, syslog_pri, cidr, drop, clone, split, useragent, geoip, plus
-the community set: bytes, cipher, environment, extractnumbers,
-json_encode, metricize, tld, age, alter, range) with full conditional
-expressions (`if / else if / else`, nesting) and the common-decorator
-attrs add_tag/remove_tag/add_field/remove_field applied under the
-plugin's success predicate (filters/base.rb:195-226).  `compile_lscl`
+logstash_spark.operators — grok, dissect, mutate, date, kv, csv, json,
+xml, yaml, fingerprint, uuid, anonymize, translate (+dictionary_path),
+prune, de_dot, truncate, urldecode, syslog_pri, cidr, drop, clone, split,
+useragent, geoip, dns, jdbc_static/lookup (context-passed snapshots), the
+stateful set throttle/elapsed/aggregate/metrics (plugin-shaped attrs onto
+operators/windows.py; batch plans — run_stream rejects them with their
+streaming twins), and the community set bytes, cipher, environment,
+extractnumbers, json_encode, metricize, tld, age, alter, range — with
+full conditional expressions (`if / else if / else`, nesting) and the
+common-decorator attrs add_tag/remove_tag/add_field/remove_field applied
+under the plugin's success predicate (filters/base.rb:195-226).  `ruby`
+is rejected at compile time with the Arrow-batch escape-hatch pointer.  `compile_lscl`
 compiles a filter-only config; `compile_lscl_job` compiles a COMPLETE
 config — inputs generator/file/stdin plus the stream inputs kafka (jar-
 gated)/tcp/syslog and the p2p `pipeline{address}`; outputs stdout/file/
