@@ -1,0 +1,87 @@
+"""Document chunking + deterministic sampling for training-data mixes.
+
+Two operations every corpus pipeline runs right before tokenization:
+
+* chunk_documents — split long documents into ~max_tokens windows with
+  overlap (context-window packing).  Pure expressions: split -> explode
+  over a computed chunk-index sequence -> slice/array_join.  The explode
+  is a narrow 1:N Generate, no shuffle; chunk counts are derived per row
+  so skewed document lengths never hot-spot a reducer.
+
+* deterministic_sample / stratified_sample — reproducible sampling keyed
+  on a hash of the row id, NOT rand(): the same (id, seed, rate) keeps or
+  drops the row in every engine, every run, every retry — which is what
+  makes sampled training mixes auditable.  xxhash64 is Spark-native and
+  uniform; rate maps to a threshold on the hash's unsigned fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_tokens: int = 512, overlap: int = 64,
+                    min_tokens: int = 1) -> DataFrame:
+    """One row per chunk: (id_col, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Whitespace tokens; stride = max_tokens - overlap; the final window is
+    the remainder (>= min_tokens, so a trailing sliver of pure overlap is
+    not re-emitted).  Documents shorter than max_tokens yield one chunk.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    # split("") yields [""] — an empty doc must be 0 tokens, not 1
+    toks = F.when(F.trim(text_col) == "",
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(text_col), r"\s+"))
+    d = df.select(id_col, toks.alias("__toks")) \
+          .withColumn("__n", F.size("__toks")) \
+          .filter(F.col("__n") >= min_tokens)
+    # number of windows starting at 0, stride, 2*stride... that still add
+    # new tokens: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(F.col("__n") - overlap, F.lit(1)) /
+                      F.lit(stride)).cast("int")
+    d = d.withColumn("chunk_idx",
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("chunk_idx") * stride + 1          # slice() is 1-based
+    piece = F.slice("__toks", start, max_tokens)
+    return d.select(
+        id_col, "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"))
+
+
+def _keep_pred(key: Column, rate: float, seed: int) -> Column:
+    """Deterministic keep predicate: uniform hash fraction < rate."""
+    h = F.xxhash64(key, F.lit(seed))
+    # xxhash64 is signed int64; shift to [0, 1) uniformly
+    frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
+    return frac < F.lit(float(rate))
+
+
+def deterministic_sample(df: DataFrame, rate: float,
+                         key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Keep ~rate of rows, decided by hash(key, seed) — reproducible
+    across runs, engines, partitionings, and retries (rand() is none of
+    those under task retry)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.filter(_keep_pred(F.col(key_col), rate, seed))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic rates (the training-mix shape: 'keep 100%
+    of books, 10% of web, drop the rest').  One pure-expression filter —
+    no shuffle, no per-stratum scans."""
+    rate = F.lit(float(default_rate))
+    for k, r in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate)
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
+    return df.filter(frac < rate)

@@ -157,3 +157,91 @@ def test_ivf_nprobe_raises_recall(spark, sf_dir):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1           # more probes never lose recall
     assert r3 > 0.4           # and find a reasonable share of true neighbors
+
+
+# -- chunking + deterministic sampling (datahub/chunking.py) -----------------
+
+class TestChunking:
+    def test_windows_cover_and_overlap(self, spark):
+        from logstash_spark.datahub.chunking import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(25))
+        df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, max_tokens=10, overlap=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+        # doc 1: stride 7 -> starts 0,7,14,21 => ceil(max(25-3,1)/7)=4 chunks
+        c1 = by_doc[1]
+        assert len(c1) == 4
+        assert c1[0].chunk_text.split() == [f"t{i}" for i in range(10)]
+        assert c1[1].chunk_text.split()[:3] == ["t7", "t8", "t9"]  # overlap
+        assert c1[3].chunk_text.split() == [f"t{i}" for i in range(21, 25)]
+        # every token appears in some chunk
+        seen = {t for r in c1.values() for t in r.chunk_text.split()}
+        assert seen == {f"t{i}" for i in range(25)}
+        # short doc: one chunk; empty doc: dropped (min_tokens)
+        assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+        assert 3 not in by_doc
+
+    def test_chunks_match_python_oracle(self, spark, sf_dir):
+        from logstash_spark.datahub.chunking import chunk_documents
+        from logstash_spark.session import load_tables
+
+        load_tables(spark, sf_dir, "documents")
+        docs = spark.table("documents").limit(80)
+        got = {(r.doc_id, r.chunk_idx): r.chunk_text
+               for r in chunk_documents(docs, max_tokens=32, overlap=8).collect()}
+        import math
+        want = {}
+        for row in docs.collect():
+            toks = row.text.split()
+            if not toks:
+                continue
+            n = max(math.ceil(max(len(toks) - 8, 1) / 24), 1)
+            for i in range(n):
+                want[(row.doc_id, i)] = " ".join(toks[i * 24:i * 24 + 32])
+        assert got == want
+
+    def test_deterministic_sample_properties(self, spark, sf_dir):
+        from logstash_spark.datahub.chunking import deterministic_sample
+        from logstash_spark.session import load_tables
+
+        load_tables(spark, sf_dir, "documents")
+        docs = spark.table("documents")
+        s1 = {r.doc_id for r in deterministic_sample(docs, 0.3).collect()}
+        s2 = {r.doc_id for r in
+              deterministic_sample(docs.repartition(7), 0.3).collect()}
+        assert s1 == s2, "must be partitioning-independent"
+        n = docs.count()
+        assert 0.2 * n < len(s1) < 0.4 * n
+        # rate monotonicity: 0.3-sample is a subset of the 0.6-sample
+        s6 = {r.doc_id for r in deterministic_sample(docs, 0.6).collect()}
+        assert s1 <= s6
+        assert len({r.doc_id for r in
+                    deterministic_sample(docs, 1.0).collect()}) == n
+        assert not deterministic_sample(docs, 0.0).take(1)
+
+    def test_stratified_sample(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from logstash_spark.datahub.chunking import (deterministic_sample,
+                                                     stratified_sample)
+        from logstash_spark.session import load_tables
+
+        load_tables(spark, sf_dir, "documents")
+        docs = spark.table("documents")
+        out = stratified_sample(docs, "lang", {"en": 1.0, "es": 0.5})
+        by_lang = {r.lang: r.n for r in
+                   out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        tot = {r.lang: r.n for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by_lang.get("en") == tot["en"]          # rate 1.0 keeps all
+        assert 0 < by_lang.get("es", 0) < tot["es"]    # rate 0.5 keeps some
+        assert set(by_lang) == {"en", "es"}            # default 0 drops rest
+        # stratum rate == flat rate on that stratum (same hash decision)
+        es_flat = {r.doc_id for r in deterministic_sample(
+            docs.filter(F.col("lang") == "es"), 0.5).collect()}
+        es_strat = {r.doc_id for r in
+                    out.filter(F.col("lang") == "es").collect()}
+        assert es_flat == es_strat
