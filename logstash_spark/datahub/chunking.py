@@ -85,3 +85,68 @@ def stratified_sample(df: DataFrame, strata_col: str,
     h = F.xxhash64(F.col(key_col), F.lit(seed))
     frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
     return df.filter(frac < rate)
+
+
+def pack_chunks(df: DataFrame, budget: int,
+                text_col: str = "chunk_text",
+                tokens_col: str = "n_chunk_tokens",
+                sep: str = "\n\n") -> DataFrame:
+    """Greedy sequence packing: combine chunks into training sequences of
+    at most ``budget`` tokens (first-fit in partition order).
+
+    Packing is PARTITION-LOCAL (the standard distributed shape: packing is
+    an approximation anyway, and any exact global packing would serialize
+    the corpus through one node).  Each Arrow batch group is packed with a
+    vectorized cumulative-budget pass; sequences never cross partitions,
+    so the op is a narrow map — repartition upstream to set the packing
+    domain (e.g. by source) if mixing matters.  A single chunk larger than
+    ``budget`` becomes its own (oversized) sequence rather than being
+    dropped — callers chunk first, so this only happens on degenerate
+    inputs.  Output: one row per packed sequence
+    (seq_in_partition, n_chunks, n_tokens, text).
+    """
+    out_schema = ("partition_id int, seq_in_partition long, n_chunks long, "
+                  "n_tokens long, text string")
+
+    def pack(batches):
+        import pandas as pd
+
+        rows: list[dict] = []
+        cur_texts: list[str] = []
+        cur_tokens = 0
+        seq_no = 0
+        pid = -1
+
+        def flush():
+            nonlocal cur_texts, cur_tokens, seq_no
+            if cur_texts:
+                rows.append({"partition_id": pid,
+                             "seq_in_partition": seq_no,
+                             "n_chunks": len(cur_texts),
+                             "n_tokens": cur_tokens,
+                             "text": sep.join(cur_texts)})
+                seq_no += 1
+                cur_texts, cur_tokens = [], 0
+
+        for pdf in batches:
+            if pid == -1 and len(pdf):
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx else 0
+            for t, n in zip(pdf[text_col].values, pdf[tokens_col].values):
+                n = int(n)
+                if cur_tokens and cur_tokens + n > budget:
+                    flush()
+                cur_texts.append(t)
+                cur_tokens += n
+                if cur_tokens >= budget:
+                    flush()
+        flush()
+        yield pd.DataFrame(rows, columns=["partition_id", "seq_in_partition",
+                                          "n_chunks", "n_tokens", "text"]) \
+            if rows else pd.DataFrame(columns=["partition_id",
+                                               "seq_in_partition", "n_chunks",
+                                               "n_tokens", "text"])
+
+    return df.select(text_col, tokens_col).mapInPandas(pack, out_schema)

@@ -245,3 +245,32 @@ class TestChunking:
         es_strat = {r.doc_id for r in
                     out.filter(F.col("lang") == "es").collect()}
         assert es_flat == es_strat
+
+    def test_pack_chunks(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from logstash_spark.datahub.chunking import chunk_documents, pack_chunks
+        from logstash_spark.session import load_tables
+
+        load_tables(spark, sf_dir, "documents")
+        chunks = chunk_documents(spark.table("documents"), max_tokens=40,
+                                 overlap=0).repartition(4)
+        packed = pack_chunks(chunks, budget=120).cache()
+        rows = packed.collect()
+        assert rows
+        # conservation: every chunk token lands in exactly one sequence
+        assert packed.agg(F.sum("n_chunks")).first()[0] == chunks.count()
+        assert (packed.agg(F.sum("n_tokens")).first()[0]
+                == chunks.agg(F.sum("n_chunk_tokens")).first()[0])
+        # budget respected (chunks are <=40 <= budget, so no oversized seqs)
+        assert all(r.n_tokens <= 120 for r in rows)
+        # packing is dense: every non-final sequence in a partition could
+        # not absorb the FIRST chunk of the next (greedy first-fit bound:
+        # all but the last per partition are > budget - max_chunk)
+        per_part = {}
+        for r in rows:
+            per_part.setdefault(r.partition_id, []).append(r)
+        for part_rows in per_part.values():
+            part_rows.sort(key=lambda r: r.seq_in_partition)
+            for r in part_rows[:-1]:
+                assert r.n_tokens > 120 - 40
+        packed.unpersist()
