@@ -207,3 +207,33 @@ def embedding_cosine_pairs(vectors, threshold: float = 0.95,
     return (j.withColumn("cos", cosine(F.col("va"), F.col("vb")))
              .filter(F.col("cos") >= threshold)
              .select("id_a", "id_b", "cos"))
+
+
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            n: int = 8, min_hits: int = 1,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=min_hits
+    distinct word n-grams with an evaluation set.
+
+    The standard pre-training hygiene pass (n=8..13 word-gram overlap).
+    Plan shape: the benchmark's distinct shingle set is tiny relative to
+    the corpus, so it BROADCASTS — the corpus side is one narrow
+    shingle-explode + broadcast semi-join + per-doc count; the 100 TB side
+    is never shuffled.  Returns docs + (contamination_hits, contaminated).
+    """
+    from pyspark.sql.functions import broadcast
+
+    bench_sh = (word_shingles(
+        benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+        text_col=bench_text_col, id_col="__bid", n=n)
+        .select("shingle").distinct())
+    doc_sh = word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    hits = (doc_sh.join(broadcast(bench_sh), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("contamination_hits")))
+    out = docs.join(hits, id_col, "left")
+    out = out.withColumn("contamination_hits",
+                         F.coalesce("contamination_hits", F.lit(0)))
+    return out.withColumn("contaminated",
+                          F.col("contamination_hits") >= min_hits)

@@ -274,3 +274,30 @@ class TestChunking:
             for r in part_rows[:-1]:
                 assert r.n_tokens > 120 - 40
         packed.unpersist()
+
+
+def test_benchmark_contamination(spark, sf_dir):
+    """Planted 8-gram overlaps are flagged; clean docs are not; the
+    benchmark side broadcasts (corpus never shuffled for the join)."""
+    from pyspark.sql import functions as F
+    from logstash_spark.datahub.dedup import benchmark_contamination
+    from logstash_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    # benchmark = verbatim snippets lifted from two known docs + a novel one
+    snips = [r.text for r in docs.filter(F.col("doc_id").isin(3, 7))
+             .select("text").collect()]
+    bench = spark.createDataFrame(
+        [(s,) for s in snips] +
+        [("zq xv qj wk bn mm pl rr ts uu vv ww xx yy",)], "text string")
+    out = benchmark_contamination(docs, bench, n=8, min_hits=1).cache()
+    flagged = {r.doc_id for r in out.filter("contaminated").collect()}
+    assert {3, 7} <= flagged
+    # most of the corpus must be clean (planted contamination only)
+    assert len(flagged) < docs.count() / 2
+    assert out.count() == docs.count()
+    assert out.filter("contamination_hits < 0").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    out.unpersist()
