@@ -55,12 +55,14 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.size(piece).alias("n_chunk_tokens"))
 
 
-def _keep_pred(key: Column, rate: float, seed: int) -> Column:
-    """Deterministic keep predicate: uniform hash fraction < rate."""
+def _keep_pred(key: Column, rate, seed: int) -> Column:
+    """Deterministic keep predicate: uniform hash fraction < rate.
+
+    ``rate`` may be a float or a per-row Column of rates (stratified)."""
     h = F.xxhash64(key, F.lit(seed))
     # xxhash64 is signed int64; shift to [0, 1) uniformly
     frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
-    return frac < F.lit(float(rate))
+    return frac < (rate if isinstance(rate, Column) else F.lit(float(rate)))
 
 
 def deterministic_sample(df: DataFrame, rate: float,
@@ -82,9 +84,7 @@ def stratified_sample(df: DataFrame, strata_col: str,
     rate = F.lit(float(default_rate))
     for k, r in rates.items():
         rate = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate)
-    h = F.xxhash64(F.col(key_col), F.lit(seed))
-    frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
-    return df.filter(frac < rate)
+    return df.filter(_keep_pred(F.col(key_col), rate, seed))
 
 
 def pack_chunks(df: DataFrame, budget: int,

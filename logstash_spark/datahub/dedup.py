@@ -153,6 +153,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return out.filter(F.col("jaccard") >= threshold).select("a", "b", "inter", "jaccard")
 
 
+def ngram_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate-pair set (a, b).
+
+    Unlike ngram_jaccard_pairs (inverted-index self-join, O(n^2) without a
+    predicate bound), this never forms non-candidate pairs: shingles are
+    semi-joined down to docs appearing in `pairs`, and the shingle match is
+    joined against the candidate set BEFORE the intersection count — the
+    work is O(sum over candidate pairs of shared shingles).
+    """
+    cand_docs = (pairs.select(F.col("a").alias(id_col))
+                 .union(pairs.select(F.col("b").alias(id_col))).distinct())
+    sh = word_shingles(df.join(cand_docs, id_col), text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    matches = a.join(b, "shingle").join(pairs, ["a", "b"])
+    inter = matches.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"),
+                                F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"),
+                           F.col("sz").alias("sz_b")), "b")
+        .withColumn("jaccard", F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("a", "b", "inter", "jaccard"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token take `bits` bits of md5; the

@@ -69,7 +69,7 @@ def corpus_clean_fuzzy(
 
     from logstash_spark.datahub.components import dedup_groups
     from logstash_spark.datahub.dedup import (minhash_lsh_dedup,
-                                              ngram_jaccard_pairs)
+                                              ngram_jaccard_for_pairs)
 
     exact = corpus_clean(df, lang=lang, min_quality=min_quality,
                          text_col=text_col).select(id_col, "pred_lang",
@@ -78,13 +78,13 @@ def corpus_clean_fuzzy(
     pairs = minhash_lsh_dedup(survivors, text_col=text_col, id_col=id_col,
                               n_hashes=n_hashes, band_size=band_size)
     if jaccard_threshold is not None:
-        cand = pairs.withColumnRenamed("a", "ca").withColumnRenamed("b", "cb")
-        verified = ngram_jaccard_pairs(
-            survivors, text_col=text_col, id_col=id_col,
-            threshold=jaccard_threshold)
-        pairs = (verified.join(
-            cand, (verified.a == cand.ca) & (verified.b == cand.cb))
-            .select("a", "b"))
+        # exact verification scoped to the LSH candidates only — the
+        # candidate set bounds the join BEFORE the intersection count, so
+        # this never degenerates to the all-pairs inverted-index join
+        verified = ngram_jaccard_for_pairs(
+            survivors, pairs, text_col=text_col, id_col=id_col)
+        pairs = verified.filter(
+            F.col("jaccard") >= jaccard_threshold).select("a", "b")
     groups = dedup_groups(survivors, pairs, id_col=id_col)
     return (survivors.join(groups.filter("is_keeper").select(id_col), id_col)
             .select(id_col, "pred_lang", "quality"))

@@ -287,7 +287,8 @@ def msgpack_decode(df: DataFrame, source: str, schema: str,
                     if end != len(b):
                         return None         # trailing garbage = failure
                     return _json.dumps(_mp_to_jsonable(v))
-                except (MsgpackError, UnicodeDecodeError, IndexError):
+                except (MsgpackError, UnicodeDecodeError, IndexError,
+                        struct.error):
                     return None
 
             pdf = pdf.assign(__mp_json=pdf[source].map(one))
@@ -296,18 +297,40 @@ def msgpack_decode(df: DataFrame, source: str, schema: str,
     staged = df.mapInPandas(decode, carry_schema + ", __mp_json string")
     # NULL json from a NON-null packet is a decode failure
     failed = F.col(source).isNotNull() & F.col("__mp_json").isNull()
+    # snapshot any PRE-EXISTING json failure tag (from an earlier json
+    # filter) so stripping the internal json_filter's tag can't erase it
+    had_jpf = (F.array_contains("tags", "_jsonparsefailure")
+               if "tags" in df.columns else F.lit(False))
+    staged = staged.withColumn("__had_jpf", F.coalesce(had_jpf, F.lit(False)))
     out = json_filter(staged, "__mp_json", schema, target=target)
-    # json_filter tags _jsonparsefailure on null input; rewrite to the
-    # msgpack-specific tag only for true decode failures
     out = out.withColumn(
-        "tags", F.array_remove(F.col("tags"), "_jsonparsefailure"))
+        "tags",
+        F.when(F.col("__had_jpf"), F.col("tags"))
+         .otherwise(F.array_remove(F.col("tags"), "_jsonparsefailure")))
     out = add_tag(out, "_msgpackparsefailure", when=failed)
-    return out.drop("__mp_json")
+    return out.drop("__mp_json", "__had_jpf")
 
 
 # ---------------------------------------------------------------------------
 # fluent forward mode (logstash-codec-fluent, meta:14)
 # ---------------------------------------------------------------------------
+
+def _fluent_time(t) -> int | None:
+    """Fluent entry time -> epoch seconds.
+
+    fluentd sends sub-second times as msgpack ext type 0 ("EventTime":
+    4-byte seconds + 4-byte nanos, both big-endian) unless
+    time_as_integer=true — _mp_decode surfaces ext as a tuple.  Plain
+    ints/floats pass through; anything else is an unparseable entry."""
+    if isinstance(t, bool):
+        return None
+    if isinstance(t, (int, float)):
+        return int(t)
+    if (isinstance(t, tuple) and len(t) == 3 and t[0] == "__ext__"
+            and t[1] == 0 and len(t[2]) == 8):
+        return int.from_bytes(t[2][:4], "big")
+    return None
+
 
 def fluent_decode(df: DataFrame, source: str) -> DataFrame:
     """fluent codec: msgpack ``[tag, time, record]`` entries (and the
@@ -342,7 +365,8 @@ def fluent_decode(df: DataFrame, source: str) -> DataFrame:
                     continue
                 try:
                     v, end = _mp_decode(bytes(b))
-                except (MsgpackError, UnicodeDecodeError, IndexError):
+                except (MsgpackError, UnicodeDecodeError, IndexError,
+                        struct.error):
                     rows.append(bad)
                     continue
                 if (end != len(b) or not isinstance(v, list) or len(v) < 2
@@ -355,11 +379,18 @@ def fluent_decode(df: DataFrame, source: str) -> DataFrame:
                                if isinstance(e, list) and len(e) == 2]
                 else:                          # single [tag, time, record]
                     entries = [(v[1], v[2] if len(v) > 2 else {})]
+                emitted = False
                 for t, rec in entries:
+                    t = _fluent_time(t)
+                    if t is None:
+                        continue               # unparseable entry time
                     rows.append({**base, "fluent_tag": tag,
-                                 "fluent_time": int(t),
+                                 "fluent_time": t,
                                  "record": _json.dumps(_mp_to_jsonable(rec)),
                                  "fluent_failed": False})
+                    emitted = True
+                if not emitted:
+                    rows.append(bad)
             yield pd.DataFrame(
                 rows, columns=carry + ["fluent_tag", "fluent_time",
                                        "record", "fluent_failed"]) if rows \
@@ -439,6 +470,10 @@ def collectd_decode(df: DataFrame, source: str) -> DataFrame:
                 n = struct.unpack_from(">H", payload, 0)[0]
                 dtypes = payload[2:2 + n]
                 vals = payload[2 + n:]
+                if len(dtypes) < n or len(vals) < 8 * n:
+                    # int.from_bytes would happily decode a short slice to
+                    # a bogus small value — truncation is a failure
+                    raise ValueError("truncated VALUES part")
                 for i in range(n):
                     dt = dtypes[i]
                     raw = vals[8 * i:8 * i + 8]
@@ -561,6 +596,9 @@ def _edn_value(kind, tok, tokens):
         for k, t in tokens:
             if k == "close" and t == "}":
                 return out                     # sets -> arrays (JSON has none)
+            if k == "discard":                 # trailing #_ before closer
+                _edn_parse(tokens)
+                continue
             out.append(_edn_value(k, t, tokens))
         raise EdnError("unclosed set")
     if kind == "open":
@@ -571,6 +609,9 @@ def _edn_value(kind, tok, tokens):
                 if t != closer:
                     raise EdnError(f"mismatched {t!r}")
                 break
+            if k == "discard":                 # trailing #_ before closer
+                _edn_parse(tokens)
+                continue
             out.append(_edn_value(k, t, tokens))
         else:
             raise EdnError("unclosed form")
@@ -624,8 +665,13 @@ def edn_decode(df: DataFrame, source: str, schema: str,
 
     staged = df.mapInPandas(decode, carry_schema + ", __edn_json string")
     failed = F.col(source).isNotNull() & F.col("__edn_json").isNull()
+    had_jpf = (F.array_contains("tags", "_jsonparsefailure")
+               if "tags" in df.columns else F.lit(False))
+    staged = staged.withColumn("__had_jpf", F.coalesce(had_jpf, F.lit(False)))
     out = json_filter(staged, "__edn_json", schema, target=target)
     out = out.withColumn(
-        "tags", F.array_remove(F.col("tags"), "_jsonparsefailure"))
+        "tags",
+        F.when(F.col("__had_jpf"), F.col("tags"))
+         .otherwise(F.array_remove(F.col("tags"), "_jsonparsefailure")))
     out = add_tag(out, "_ednparsefailure", when=failed)
-    return out.drop("__edn_json")
+    return out.drop("__edn_json", "__had_jpf")

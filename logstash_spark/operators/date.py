@@ -69,8 +69,8 @@ _ZONE_TOKENS = re.compile(r"[XxZzOV]")
 
 def _has_zone(fmt: str) -> bool:
     """True when the pattern (or special format) carries its own offset."""
-    if fmt in ("ISO8601", "UNIX", "UNIX_MS", "TAI64N"):
-        return True  # epoch / self-describing formats are zone-complete
+    if fmt in ("UNIX", "UNIX_MS", "TAI64N"):
+        return True  # epoch formats are zone-complete (ISO8601 is per-row: see date())
     return bool(_ZONE_TOKENS.search(re.sub(r"'[^']*'", "", fmt)))
 
 
@@ -93,13 +93,23 @@ def date(
     A ``%{field}`` template resolves the zone per event (sprintf form).
     """
     src = F.col(source)
+    # an ISO8601 string may or may not carry an offset; detect per row —
+    # the offset must FOLLOW a time component ("2024-06-01" ends in "-01"
+    # which is a day, not an offset)
+    _iso_has_offset = src.rlike(
+        r"\d{2}:\d{2}(:\d{2}(\.\d+)?)?\s*([+-]\d{2}(:?\d{2})?|Z)$")
 
     def one(fmt: str) -> Column:
         p = _parse_one(src, fmt)
-        if timezone is None or _has_zone(fmt):
+        if timezone is None or (fmt != "ISO8601" and _has_zone(fmt)):
             return p
         m = re.fullmatch(r"%\{(.+)\}", timezone)
         tz = F.col(m.group(1)) if m else F.lit(timezone)
+        if fmt == "ISO8601":
+            # reinterpret only offset-LESS ISO strings (plugin semantics:
+            # timezone applies when the parsed text includes no zone)
+            return F.when(_iso_has_offset, p) \
+                    .otherwise(F.to_utc_timestamp(p, tz))
         return F.to_utc_timestamp(p, tz)
 
     parsed = F.coalesce(*[one(f) for f in formats])

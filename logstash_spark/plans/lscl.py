@@ -681,9 +681,12 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             from logstash_spark.operators.windows import throttle as _throttle
             key = _sprintf_field(a["key"], "throttle.key")
             period = f'{int(a.get("period", 3600))} seconds'
+            order_by = a.get("order_by")
+            if isinstance(order_by, str):
+                order_by = [order_by]
             return _throttle(df, a.get("timestamp_field", "ts"), [key],
                              period, max_count=int(a.get("after_count", 1)),
-                             order_cols=a.get("order_by"))
+                             order_cols=order_by)
         if name == "elapsed":
             # logstash-filter-elapsed: start/end tagged events correlated
             # by unique_id_field within timeout; emits the match events
@@ -964,9 +967,11 @@ class LsclJob:
             paths = a["path"] if isinstance(a["path"], list) else [a["path"]]
             codec = a.get("codec", "line")
             if codec in ("line", "plain"):
-                return spark.read.text(*paths).withColumnRenamed("value", "message")
+                # NB: list passed as ONE arg — *splat would bind the second
+                # path to the reader's wholetext/schema positional
+                return spark.read.text(paths).withColumnRenamed("value", "message")
             if codec == "json_lines" or codec == "json":
-                return spark.read.json(*paths)
+                return spark.read.json(paths)
             if codec == "parquet":
                 return spark.read.parquet(*paths)
             if codec == "multiline":
@@ -1074,18 +1079,27 @@ class LsclJob:
             if n.name == "file":
                 paths = a["path"] if isinstance(a["path"], list) else [a["path"]]
                 codec = a.get("codec", "line")
+                # streaming file readers are single-path: one stream per
+                # path, unioned (same plan the reference's multi-path file
+                # input compiles to — one watcher per glob)
                 if codec in ("line", "plain"):
-                    d = (spark.readStream.text(*paths)
-                         .withColumnRenamed("value", "message"))
+                    parts = [spark.readStream.text(p0)
+                             .withColumnRenamed("value", "message")
+                             for p0 in paths]
                 elif codec in ("json_lines", "json"):
-                    schema = a.get("schema") or spark.read.json(*paths).schema
-                    d = spark.readStream.schema(schema).json(*paths)
+                    schema = a.get("schema") or spark.read.json(paths).schema
+                    parts = [spark.readStream.schema(schema).json(p0)
+                             for p0 in paths]
                 elif codec == "parquet":
                     schema = a.get("schema") or spark.read.parquet(*paths).schema
-                    d = spark.readStream.schema(schema).parquet(*paths)
+                    parts = [spark.readStream.schema(schema).parquet(p0)
+                             for p0 in paths]
                 else:
                     raise SyntaxError(
                         f"LSCL: unsupported streaming file codec {codec!r}")
+                d = parts[0]
+                for extra in parts[1:]:
+                    d = d.unionByName(extra)
                 dfs.append(d)
             elif n.name == "generator":
                 raise SyntaxError(
@@ -1220,7 +1234,7 @@ def _file_multiline(spark, paths: list[str], a: dict) -> DataFrame:
 
     from logstash_spark.operators.codecs import multiline_assemble
 
-    lines = spark.read.text(*paths).select(
+    lines = spark.read.text(paths).select(
         F.col("value").alias("message"),
         F.col("_metadata.file_path").alias("path"),
         F.col("_metadata.file_block_start").alias("__blk"),

@@ -264,3 +264,63 @@ class TestEdn:
         assert parse('#inst "2024-01-01"') == \
             {"__edn_tag__": "inst", "value": "2024-01-01"}
         assert parse("{:a {:b [1 :kw]}}") == {"a": {"b": [1, "kw"]}}
+
+
+class TestReviewFixes:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_fluent_eventtime_ext(self, spark):
+        """fluentd's default EventTime (msgpack ext 0: 4B secs + 4B nanos)
+        must decode, not crash the task."""
+        from logstash_spark.operators.codecs_binary import fluent_decode
+
+        secs = 1717200000
+        ext_time = b"\xd7\x00" + secs.to_bytes(4, "big") + (500).to_bytes(4, "big")
+        pkt = (b"\x93" + mp_enc("app") + ext_time
+               + mp_enc({"msg": "hi"}))
+        df = spark.createDataFrame([(pkt,)], "raw binary")
+        r = fluent_decode(df, "raw").collect()[0]
+        assert not r.fluent_failed and r.fluent_time == secs
+
+    def test_truncated_float_tags_not_crashes(self, spark):
+        from logstash_spark.operators.codecs_binary import (fluent_decode,
+                                                            msgpack_decode)
+
+        df = spark.createDataFrame([(b"\xcb\x00",)], "raw binary")  # half a f64
+        assert "_msgpackparsefailure" in \
+            msgpack_decode(df, "raw", "i long").collect()[0].tags
+        assert fluent_decode(df, "raw").collect()[0].fluent_failed
+
+    def test_preexisting_json_failure_tag_survives(self, spark):
+        """A _jsonparsefailure from an EARLIER json filter must not be
+        stripped by msgpack/edn's internal tag rewrite."""
+        from logstash_spark.operators.codecs_binary import (edn_decode,
+                                                            msgpack_decode)
+        from logstash_spark.operators.parsers import json_filter
+
+        df = spark.createDataFrame(
+            [("not json", mp_enc({"i": 1}), "{:k 1}")],
+            "j string, mp binary, ed string")
+        staged = json_filter(df, "j", "x long")   # tags _jsonparsefailure
+        out1 = msgpack_decode(staged, "mp", "i long")
+        assert "_jsonparsefailure" in out1.collect()[0].tags
+        out2 = edn_decode(staged, "ed", "k long")
+        assert "_jsonparsefailure" in out2.collect()[0].tags
+
+    def test_edn_trailing_discard(self):
+        from logstash_spark.operators.codecs_binary import (_edn_parse,
+                                                            _edn_tokens)
+
+        assert _edn_parse(_edn_tokens("[1 2 #_3]")) == [1, 2]
+        assert _edn_parse(_edn_tokens("{:a 1 #_:b #_2}")) == {"a": 1}
+        assert _edn_parse(_edn_tokens("#{1 #_2}")) == [1]
+
+    def test_collectd_truncated_values_part_fails(self, spark):
+        from logstash_spark.operators.codecs_binary import collectd_decode
+
+        # VALUES part claiming 2 values but carrying 1
+        pkt = struct.pack(">HHH", 0x0006, 4 + 2 + 2 + 8, 2) + \
+            bytes([0, 0]) + (7).to_bytes(8, "big")
+        df = spark.createDataFrame([(pkt,)], "raw binary")
+        rows = collectd_decode(df, "raw").collect()
+        assert len(rows) == 1 and rows[0].collectd_failed

@@ -109,3 +109,24 @@ def test_corpus_clean_fuzzy(spark, sf_dir):
     # no verification: strictly more aggressive (or equal)
     loose = corpus_clean_fuzzy(docs, jaccard_threshold=None)
     assert loose.count() <= n_fuzzy
+
+
+def test_fuzzy_verify_is_candidate_bounded(spark, sf_dir):
+    """ngram_jaccard_for_pairs must agree with the unbounded verifier on
+    the candidate set, and its plan must join the candidates BEFORE the
+    intersection aggregate (no all-pairs blow-up)."""
+    from pyspark.sql import functions as F
+    from logstash_spark.datahub.dedup import (minhash_lsh_dedup,
+                                              ngram_jaccard_for_pairs,
+                                              ngram_jaccard_pairs)
+    from logstash_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "documents")
+    docs = spark.table("documents").limit(150)
+    pairs = minhash_lsh_dedup(docs, n_hashes=16, band_size=4)
+    bounded = {(r.a, r.b, round(r.jaccard, 6)) for r in
+               ngram_jaccard_for_pairs(docs, pairs).collect()}
+    full = {(r.a, r.b): round(r.jaccard, 6) for r in
+            ngram_jaccard_pairs(docs).collect()}
+    cand = {(r.a, r.b) for r in pairs.collect()}
+    assert bounded == {(a, b, full[(a, b)]) for (a, b) in cand if (a, b) in full}

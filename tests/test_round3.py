@@ -694,3 +694,58 @@ def test_run_stream_rejects_batch_only_stateful(spark, tmp_path):
     """)
     with pytest.raises(SyntaxError, match="throttle_stream"):
         job.run_stream(spark, checkpoint_dir=str(tmp_path / "c"))
+
+
+class TestReviewFixesLscl:
+    def test_multi_path_file_input(self, spark, tmp_path):
+        """Two paths in file{} must read BOTH files line-by-line (the
+        *splat bound path 2 to the reader's wholetext positional)."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        p1, p2 = tmp_path / "a.log", tmp_path / "b.log"
+        p1.write_text("l1\nl2\n")
+        p2.write_text("l3\n")
+        job = compile_lscl_job(
+            f'input {{ file {{ path => ["{p1}", "{p2}"] }} }} '
+            'output { null {} }')
+        rows = sorted(r.message for r in job.run(spark).collect())
+        assert rows == ["l1", "l2", "l3"]
+
+    def test_multi_path_file_stream(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        d1, d2 = tmp_path / "d1", tmp_path / "d2"
+        d1.mkdir(); d2.mkdir()
+        (d1 / "a.log").write_text("s1\n")
+        (d2 / "b.log").write_text("s2\ns3\n")
+        out = str(tmp_path / "out")
+        job = compile_lscl_job(
+            f'input {{ file {{ path => ["{d1}", "{d2}"] }} }} '
+            f'output {{ file {{ path => "{out}" codec => "line" }} }}')
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"))
+        q.awaitTermination(60)
+        got = sorted(r.value for r in spark.read.text(out).collect())
+        assert got == ["s1", "s2", "s3"]
+
+    def test_throttle_scalar_order_by(self, spark, transcripts):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        out = compile_lscl(
+            'filter { throttle { key => "%{conv_id}" period => 604800 '
+            'after_count => 5 order_by => "turn_idx" } }')(transcripts)
+        assert out.count() == transcripts.count()  # no AnalysisException
+
+    def test_date_iso8601_timezone(self, spark):
+        from logstash_spark.operators.date import date
+
+        df = spark.createDataFrame(
+            [("2024-06-01T12:00:00",), ("2024-06-01T12:00:00+02:00",)],
+            "raw string")
+        out = {r.raw: r.t for r in
+               date(df, "raw", ["ISO8601"], target="t",
+                    timezone="America/New_York").collect()}
+        # offset-less: reinterpreted as NY wall time -> 16:00 UTC
+        assert out["2024-06-01T12:00:00"].isoformat() == "2024-06-01T16:00:00"
+        # explicit offset: untouched -> 10:00 UTC
+        assert out["2024-06-01T12:00:00+02:00"].isoformat() == \
+            "2024-06-01T10:00:00"
