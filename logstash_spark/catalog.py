@@ -665,7 +665,7 @@ def q_elapsed(spark, sf_dir):
     out = elapsed_join(t, "conv_id", "ts",
                        start_pred=F.col("role") == "user",
                        end_pred=F.col("role").isin("assistant", "tool"),
-                       max_lag="interval 2 hours")
+                       max_lag="interval 2 hours", id_cols=["turn_idx"])
     return out.select("conv_id", "start_turn_idx", "start_ts", "end_ts", "elapsed_sec")
 
 
@@ -1208,7 +1208,7 @@ def q_elapsed_expired(spark, sf_dir):
     out = elapsed_expired(t, "conv_id", "ts",
                           start_pred=F.col("role") == "user",
                           end_pred=F.col("role").isin("assistant", "tool"),
-                          max_lag="interval 2 hours")
+                          max_lag="interval 2 hours", id_cols=["turn_idx"])
     return out.select(
         "conv_id", "start_turn_idx", "start_ts",
         F.array_contains("tags", "elapsed_expired_error").alias("expired"))

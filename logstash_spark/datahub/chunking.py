@@ -34,10 +34,13 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
+    # full-whitespace trim: Spark trim() strips only ASCII spaces, so a
+    # leading tab/newline would survive and split(\s+) would emit a leading
+    # "" token, inflating counts and injecting empty tokens into chunk_text
+    stripped = F.regexp_replace(text_col, r"^\s+|\s+$", "")
     # split("") yields [""] — an empty doc must be 0 tokens, not 1
-    toks = F.when(F.trim(text_col) == "",
-                  F.array().cast("array<string>")) \
-            .otherwise(F.split(F.trim(text_col), r"\s+"))
+    toks = F.when(stripped == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(stripped, r"\s+"))
     d = df.select(id_col, toks.alias("__toks")) \
           .withColumn("__n", F.size("__toks")) \
           .filter(F.col("__n") >= min_tokens)

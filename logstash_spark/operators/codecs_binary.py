@@ -125,6 +125,15 @@ def netflow5_decode(df: DataFrame, source: str,
                                      "netflow_failed": True})
                     continue
                 n = pkt.pop("n")
+                if n == 0:
+                    # count=0 is a decode anomaly (no collector emits it);
+                    # a zero-row packet must be visible downstream, not
+                    # silently indistinguishable from filtered data
+                    out_rows.append({**base,
+                                     **{f: None for f in fields},
+                                     "record_idx": None,
+                                     "netflow_failed": True})
+                    continue
                 for i in range(n):
                     out_rows.append({**base,
                                      **{k: (int(v[i]) if hasattr(v, "dtype")
@@ -148,14 +157,21 @@ class MsgpackError(ValueError):
     pass
 
 
-def _mp_decode(buf: bytes, pos: int = 0):
+_MP_MAX_DEPTH = 512
+
+
+def _mp_decode(buf: bytes, pos: int = 0, depth: int = 0):
     """Decode one msgpack object at ``pos``; return (value, next_pos).
 
     Implements the msgpack.org format families: nil/bool, fixint,
     uint8-64, int8-64, float32/64, fixstr/str8-32, bin8-32,
     fixarray/array16-32, fixmap/map16-32.  Ext types are surfaced as
-    (type, bytes) tuples.  Raises MsgpackError on truncation/unknown.
+    (type, bytes) tuples.  Raises MsgpackError on truncation/unknown,
+    and on nesting past ``_MP_MAX_DEPTH`` — a ~100 KB run of 0x91 bytes
+    must become a failure TAG, not a task-killing RecursionError.
     """
+    if depth > _MP_MAX_DEPTH:
+        raise MsgpackError("nesting too deep")
     if pos >= len(buf):
         raise MsgpackError("truncated")
     b = buf[pos]
@@ -165,9 +181,9 @@ def _mp_decode(buf: bytes, pos: int = 0):
     if b >= 0xE0:                       # negative fixint
         return b - 0x100, pos
     if 0x80 <= b <= 0x8F:               # fixmap
-        return _mp_map(buf, pos, b & 0x0F)
+        return _mp_map(buf, pos, b & 0x0F, depth + 1)
     if 0x90 <= b <= 0x9F:               # fixarray
-        return _mp_array(buf, pos, b & 0x0F)
+        return _mp_array(buf, pos, b & 0x0F, depth + 1)
     if 0xA0 <= b <= 0xBF:               # fixstr
         n = b & 0x1F
         return buf[pos:pos + n].decode("utf-8"), pos + n
@@ -198,13 +214,17 @@ def _mp_decode(buf: bytes, pos: int = 0):
         pos += w
         return buf[pos:pos + n].decode("utf-8"), pos + n
     if b == 0xDC:
-        return _mp_array(buf, pos + 2, int.from_bytes(buf[pos:pos + 2], "big"))
+        return _mp_array(buf, pos + 2,
+                         int.from_bytes(buf[pos:pos + 2], "big"), depth + 1)
     if b == 0xDD:
-        return _mp_array(buf, pos + 4, int.from_bytes(buf[pos:pos + 4], "big"))
+        return _mp_array(buf, pos + 4,
+                         int.from_bytes(buf[pos:pos + 4], "big"), depth + 1)
     if b == 0xDE:
-        return _mp_map(buf, pos + 2, int.from_bytes(buf[pos:pos + 2], "big"))
+        return _mp_map(buf, pos + 2,
+                       int.from_bytes(buf[pos:pos + 2], "big"), depth + 1)
     if b == 0xDF:
-        return _mp_map(buf, pos + 4, int.from_bytes(buf[pos:pos + 4], "big"))
+        return _mp_map(buf, pos + 4,
+                       int.from_bytes(buf[pos:pos + 4], "big"), depth + 1)
     if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):   # fixext 1/2/4/8/16
         n = 1 << (b - 0xD4)
         t = buf[pos]
@@ -218,19 +238,19 @@ def _mp_decode(buf: bytes, pos: int = 0):
     raise MsgpackError(f"unknown format byte 0x{b:02x}")
 
 
-def _mp_array(buf, pos, n):
+def _mp_array(buf, pos, n, depth=0):
     out = []
     for _ in range(n):
-        v, pos = _mp_decode(buf, pos)
+        v, pos = _mp_decode(buf, pos, depth)
         out.append(v)
     return out, pos
 
 
-def _mp_map(buf, pos, n):
+def _mp_map(buf, pos, n, depth=0):
     out = {}
     for _ in range(n):
-        k, pos = _mp_decode(buf, pos)
-        v, pos = _mp_decode(buf, pos)
+        k, pos = _mp_decode(buf, pos, depth)
+        v, pos = _mp_decode(buf, pos, depth)
         out[k if isinstance(k, str) else repr(k)] = v
     return out, pos
 
@@ -286,9 +306,13 @@ def msgpack_decode(df: DataFrame, source: str, schema: str,
                     v, end = _mp_decode(bytes(b))
                     if end != len(b):
                         return None         # trailing garbage = failure
+                    if not isinstance(v, dict):
+                        return None         # scalar/array top level: the
+                        # reference codec needs a map to make an event —
+                        # anything else is a decode anomaly, tag it
                     return _json.dumps(_mp_to_jsonable(v))
-                except (MsgpackError, UnicodeDecodeError, IndexError,
-                        struct.error):
+                except (MsgpackError, RecursionError, UnicodeDecodeError,
+                        IndexError, struct.error):
                     return None
 
             pdf = pdf.assign(__mp_json=pdf[source].map(one))
@@ -365,8 +389,8 @@ def fluent_decode(df: DataFrame, source: str) -> DataFrame:
                     continue
                 try:
                     v, end = _mp_decode(bytes(b))
-                except (MsgpackError, UnicodeDecodeError, IndexError,
-                        struct.error):
+                except (MsgpackError, RecursionError, UnicodeDecodeError,
+                        IndexError, struct.error):
                     rows.append(bad)
                     continue
                 if (end != len(b) or not isinstance(v, list) or len(v) < 2
@@ -489,6 +513,10 @@ def collectd_decode(df: DataFrame, source: str) -> DataFrame:
             # unknown part types are skipped (forward compat, like reference)
         if pos != len(buf):
             raise ValueError("trailing bytes")
+        if not rows:
+            # state-only packet (no VALUES part): decode anomaly, surface
+            # as a tagged row rather than emitting nothing
+            raise ValueError("no VALUES part")
         return rows
 
     def decode(batches):
@@ -557,21 +585,26 @@ def _edn_tokens(s: str):
     yield "eof", ""
 
 
-def _edn_parse(tokens):
+_EDN_MAX_DEPTH = 512
+
+
+def _edn_parse(tokens, depth=0):
     kind, tok = next(tokens)
-    return _edn_value(kind, tok, tokens)
+    return _edn_value(kind, tok, tokens, depth)
 
 
-def _edn_value(kind, tok, tokens):
+def _edn_value(kind, tok, tokens, depth=0):
     import json as _json
 
+    if depth > _EDN_MAX_DEPTH:      # "[[[[..." must tag, not RecursionError
+        raise EdnError("nesting too deep")
     if kind == "eof":
         raise EdnError("truncated")
     if kind == "discard":                      # #_ drops the next form
-        _edn_parse(tokens)
-        return _edn_parse(tokens)
+        _edn_parse(tokens, depth + 1)
+        return _edn_parse(tokens, depth)
     if kind == "tag":                          # #inst/#uuid -> tagged value
-        v = _edn_parse(tokens)
+        v = _edn_parse(tokens, depth + 1)
         return {"__edn_tag__": tok[1:], "value": v}
     if kind == "string":
         return _json.loads(tok)                # edn strings are JSON strings
@@ -597,9 +630,9 @@ def _edn_value(kind, tok, tokens):
             if k == "close" and t == "}":
                 return out                     # sets -> arrays (JSON has none)
             if k == "discard":                 # trailing #_ before closer
-                _edn_parse(tokens)
+                _edn_parse(tokens, depth + 1)
                 continue
-            out.append(_edn_value(k, t, tokens))
+            out.append(_edn_value(k, t, tokens, depth + 1))
         raise EdnError("unclosed set")
     if kind == "open":
         closer = {"[": "]", "(": ")", "{": "}"}[tok]
@@ -610,9 +643,9 @@ def _edn_value(kind, tok, tokens):
                     raise EdnError(f"mismatched {t!r}")
                 break
             if k == "discard":                 # trailing #_ before closer
-                _edn_parse(tokens)
+                _edn_parse(tokens, depth + 1)
                 continue
-            out.append(_edn_value(k, t, tokens))
+            out.append(_edn_value(k, t, tokens, depth + 1))
         else:
             raise EdnError("unclosed form")
         if tok == "{":
@@ -658,7 +691,7 @@ def edn_decode(df: DataFrame, source: str, schema: str,
                     if kind != "eof":
                         return None
                     return _json.dumps(v)
-                except (EdnError, StopIteration, ValueError):
+                except (EdnError, RecursionError, StopIteration, ValueError):
                     return None
 
             yield pdf.assign(__edn_json=pdf[source].map(one))

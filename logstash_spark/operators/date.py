@@ -64,7 +64,10 @@ def _parse_one(col: Column, fmt: str) -> Column:
     return F.try_to_timestamp(col, F.lit(joda_to_java(fmt)))
 
 
-_ZONE_TOKENS = re.compile(r"[XxZzOV]")
+# Joda's only zone/offset tokens are Z (offset) and z (zone name); X/x/O/V
+# are java.time-only (Joda 'x' is WEEKYEAR — treating it as a zone marker
+# silently dropped the timezone option for patterns like "xxxx-'W'ww-e").
+_ZONE_TOKENS = re.compile(r"[Zz]")
 
 
 def _has_zone(fmt: str) -> bool:

@@ -152,8 +152,12 @@ def elapsed_join(df: DataFrame, key_col: str, ts_col: str,
     against it on one thread; here it is a time-bounded equi-join on the
     key + a min() to pick the earliest end — in streaming this exact shape
     is the watermarked stream-stream join (SURVEY.md §2.3 elapsed row).
+
+    ``id_cols`` are extra start-event identity columns carried through the
+    groupBy (empty by default — callers on the transcript tables pass
+    ["turn_idx"]; a bare (key, start_ts) identity works on any frame).
     """
-    id_cols = id_cols or ["turn_idx"]
+    id_cols = id_cols or []
     s = df.filter(start_pred).select(
         F.col(key_col).alias("k"), F.col(ts_col).alias("start_ts"),
         *[F.col(c).alias(f"start_{c}") for c in id_cols])
@@ -254,7 +258,7 @@ def elapsed_expired(df: DataFrame, key_col: str, ts_col: str,
     one shuffle, no state beyond the join."""
     from logstash_spark.functions.decorators import add_tag
 
-    id_cols = id_cols or ["turn_idx"]
+    id_cols = id_cols or []
     s = df.filter(start_pred).select(
         F.col(key_col), F.col(ts_col).alias("start_ts"),
         *[F.col(c).alias(f"start_{c}") for c in id_cols])

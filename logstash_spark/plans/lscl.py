@@ -696,11 +696,18 @@ def compile_plugin(node: PluginNode, context: dict | None = None) -> Stage:
             if str(key).startswith("%{"):
                 key = _sprintf_field(key, "elapsed.unique_id_field")
             timeout = int(a.get("timeout", 1800))
+            # id_fields: extra start-event identity columns (ADVICE r3 —
+            # the old implicit ["turn_idx"] default broke user configs on
+            # frames without that test-dataset column)
+            id_fields = a.get("id_fields", [])
+            if isinstance(id_fields, str):
+                id_fields = [id_fields]
             return elapsed_join(
                 df, key, a.get("timestamp_field", "ts"),
                 start_pred=F.array_contains("tags", a["start_tag"]),
                 end_pred=F.array_contains("tags", a["end_tag"]),
-                max_lag=f"interval {timeout} seconds")
+                max_lag=f"interval {timeout} seconds",
+                id_cols=id_fields)
         if name == "metrics":
             # logstash-filter-metrics (meta:181): meter -> windowed counts
             # + rate; timer -> count/min/max/mean/stddev + percentiles.

@@ -1,0 +1,167 @@
+"""Round-4 regression tests for the r3 ADVICE findings plus the new
+round-4 surfaces (LSCL ${VAR} expansion, pipelines.yml, multimodal decode,
+node-stats view, DLQ retention get their own sections as they land)."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: codec robustness
+# ---------------------------------------------------------------------------
+
+class TestCodecRobustness:
+    def test_msgpack_depth_bomb_tags_not_crashes(self, spark):
+        """~600 nested fixarray(1) bytes must yield _msgpackparsefailure,
+        not a RecursionError-killed task (ADVICE r3 #1)."""
+        from logstash_spark.operators.codecs_binary import msgpack_decode
+
+        bomb = bytes([0x91]) * 600 + b"\xc0"   # [[[...nil...]]] depth 600
+        df = spark.createDataFrame([(bytearray(bomb),)], "raw binary")
+        out = msgpack_decode(df, "raw", "i long").collect()[0]
+        assert "_msgpackparsefailure" in out.tags
+
+    def test_msgpack_decode_fn_raises_bounded(self):
+        from logstash_spark.operators.codecs_binary import (MsgpackError,
+                                                            _mp_decode)
+
+        with pytest.raises(MsgpackError):
+            _mp_decode(bytes([0x91]) * 600 + b"\xc0")
+        # at a sane depth the same shape still decodes
+        v, end = _mp_decode(bytes([0x91]) * 100 + b"\xc0")
+        assert end == 101
+
+    def test_msgpack_scalar_top_level_tags(self, spark):
+        """A packet decoding to a bare int is not an event — it must carry
+        the failure tag, not null-fill silently (ADVICE r3 #4)."""
+        from logstash_spark.operators.codecs_binary import msgpack_decode
+
+        df = spark.createDataFrame([(bytearray(b"\x2a"),)], "raw binary")
+        out = msgpack_decode(df, "raw", "i long").collect()[0]
+        assert "_msgpackparsefailure" in out.tags
+
+    def test_edn_depth_bomb_tags_not_crashes(self, spark):
+        from logstash_spark.operators.codecs_binary import edn_decode
+
+        bomb = "[" * 600 + "]" * 600
+        df = spark.createDataFrame([(bomb,), ('{:i 7}',)], "raw string")
+        rows = {r.raw[:1]: r for r in
+                edn_decode(df, "raw", "i long").collect()}
+        assert "_ednparsefailure" in rows["["].tags
+        assert rows["{"].i == 7
+        assert "_ednparsefailure" not in (rows["{"].tags or [])
+
+    def test_netflow_zero_count_packet_marked(self, spark):
+        """count=0 v5 packet: one netflow_failed row, never zero rows
+        (ADVICE r3 #4 — silent packet loss)."""
+        from logstash_spark.operators.codecs_binary import netflow5_decode
+
+        hdr = struct.pack(">HHIIIIBBH", 5, 0, 123, 1700000000, 0, 9, 0, 0, 0)
+        df = spark.createDataFrame([(bytearray(hdr),)], "raw binary")
+        rows = netflow5_decode(df, "raw").collect()
+        assert len(rows) == 1 and rows[0].netflow_failed
+
+    def test_collectd_state_only_packet_marked(self, spark):
+        """A packet with host/plugin parts but no VALUES part emits a
+        collectd_failed row instead of vanishing."""
+        from logstash_spark.operators.codecs_binary import collectd_decode
+
+        payload = b"myhost\x00"
+        pkt = struct.pack(">HH", 0x0000, 4 + len(payload)) + payload
+        df = spark.createDataFrame([(bytearray(pkt),)], "raw binary")
+        rows = collectd_decode(df, "raw").collect()
+        assert len(rows) == 1 and rows[0].collectd_failed
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: date zone-token misclassification
+# ---------------------------------------------------------------------------
+
+class TestDateZoneTokens:
+    def test_joda_weekyear_x_is_not_a_zone(self):
+        from logstash_spark.operators.date import _has_zone
+
+        assert not _has_zone("xxxx-'W'ww-e")      # Joda weekyear pattern
+        assert _has_zone("dd/MMM/yyyy:HH:mm:ss Z")
+        assert _has_zone("yyyy-MM-dd HH:mm:ss z")
+        assert not _has_zone("yyyy-MM-dd'Z'")     # quoted literal Z
+        assert _has_zone("UNIX")
+
+    def test_timezone_applied_to_zoneless_pattern(self, spark):
+        from logstash_spark.operators.date import date
+
+        df = spark.createDataFrame([("2024-06-01 12:00:00",)], "t string")
+        out = date(df, "t", ["yyyy-MM-dd HH:mm:ss"],
+                   timezone="America/New_York").collect()[0]
+        # noon EDT == 16:00 UTC
+        assert out["@timestamp"].hour == 16
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: LSCL elapsed on frames without turn_idx
+# ---------------------------------------------------------------------------
+
+def test_lscl_elapsed_without_turn_idx(spark):
+    from logstash_spark.plans.lscl import compile_lscl
+
+    df = spark.createDataFrame(
+        [("r1", ["start"], "2024-01-01 00:00:00"),
+         ("r1", ["end"], "2024-01-01 00:00:30"),
+         ("r2", ["start"], "2024-01-01 00:01:00")],
+        "req_id string, tags array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cfg = """
+    filter {
+      elapsed {
+        unique_id_field => "req_id"
+        start_tag => "start"
+        end_tag => "end"
+        timeout => 60
+      }
+    }
+    """
+    rows = compile_lscl(cfg)(df).collect()
+    assert len(rows) == 1 and rows[0].elapsed_sec == 30
+
+
+def test_lscl_elapsed_id_fields_attr(spark):
+    from logstash_spark.plans.lscl import compile_lscl
+
+    df = spark.createDataFrame(
+        [("r1", 7, ["start"], "2024-01-01 00:00:00"),
+         ("r1", 8, ["end"], "2024-01-01 00:00:30")],
+        "req_id string, seq int, tags array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cfg = """
+    filter {
+      elapsed {
+        unique_id_field => "req_id"
+        start_tag => "start"
+        end_tag => "end"
+        timeout => 60
+        id_fields => ["seq"]
+      }
+    }
+    """
+    rows = compile_lscl(cfg)(df).collect()
+    assert len(rows) == 1 and rows[0].start_seq == 7
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: chunking whitespace normalization
+# ---------------------------------------------------------------------------
+
+def test_chunking_strips_all_whitespace_kinds(spark):
+    from logstash_spark.datahub.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "\n\thello world foo\t\n"), (2, "  plain  "), (3, "\t\n ")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            chunk_documents(df, "text", max_tokens=512).collect()}
+    assert rows[1].n_chunk_tokens == 3
+    assert rows[1].chunk_text == "hello world foo"
+    assert rows[2].n_chunk_tokens == 1
+    assert 3 not in rows                       # all-whitespace doc -> 0 chunks
