@@ -2122,11 +2122,11 @@ input { stdin {} }
 filter {
   grok { match => { "text" => "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name} msg=%{WORD:msg}" } }
 }
-output { pipeline { send_to => ["parsed"] } }
+output { pipeline { send_to => ["${P2P_ADDRESS:parsed}"] } }
 """
 
 P2P_DOWNSTREAM_LSCL = """
-input { pipeline { address => "parsed" } }
+input { pipeline { address => "${P2P_ADDRESS:parsed}" } }
 filter {
   if "_grokparsefailure" in [tags] { drop {} }
   mutate { uppercase => ["tool_name"] }
@@ -2135,16 +2135,28 @@ filter {
 output { null {} }
 """
 
+# the two configs above composed as a pipelines.yml document (reference
+# qa/integration/fixtures/multiple_pipeline_spec.yml shape); the bus
+# address is ${VAR}-parameterized with a default, exercising the
+# ConfigVariableExpander path inside an oracle-gated query
+P2P_PIPELINES_YML = f"""
+- pipeline.id: upstream
+  config.string: |{''.join(chr(10) + '    ' + ln for ln in P2P_UPSTREAM_LSCL.strip().splitlines())}
+- pipeline.id: downstream
+  config.string: |{''.join(chr(10) + '    ' + ln for ln in P2P_DOWNSTREAM_LSCL.strip().splitlines())}
+"""
+
 
 def q_pipeline_p2p(spark, sf_dir):
-    from logstash_spark.plans.lscl import PipelineBus, compile_lscl_job
+    """Two-pipeline set loaded from a pipelines.yml document: upstream
+    grok-parses the transcripts and sends to a ${VAR}-defaulted bus
+    address; downstream listens, routes, and tags.  Plan composition means
+    the pair fuses into the single-config plan (test_round4 asserts
+    composed == fused)."""
+    from logstash_spark.plans.pipelines_yml import load_pipelines_yml
 
-    bus = PipelineBus()
-    up = compile_lscl_job(P2P_UPSTREAM_LSCL, context={"bus": bus})
-    down = compile_lscl_job(P2P_DOWNSTREAM_LSCL, context={"bus": bus})
-    # upstream has no input section: feed the transcripts view as stdin
-    up.run(spark, stdin_df=_t(spark, sf_dir))
-    out = down.run(spark)
+    pset = load_pipelines_yml(P2P_PIPELINES_YML)
+    out = pset.run(spark, stdin_dfs={"upstream": _t(spark, sf_dir)})["downstream"]
     return out.select(
         "conv_id", "turn_idx",
         F.col("status").cast("long").alias("status"), "tool_name",

@@ -303,6 +303,88 @@ class Parser:
 
 
 # ---------------------------------------------------------------------------
+# ${VAR} / ${VAR:default} expansion (reference ConfigVariableExpander.java;
+# CompiledPipeline.java:301-335; docs/reference/environment-variables.md)
+# ---------------------------------------------------------------------------
+
+# name chars per the reference's substitution pattern; default may be any
+# run of non-} chars (including empty: ${VAR:} -> "")
+_ENV_VAR_RE = re.compile(r"\$\{(\w+)(?::([^}]*))?\}")
+_ENV_ESCAPE = "\x00lscl_dollar\x00"
+
+
+def expand_env_str(s: str, env: dict) -> str:
+    """Expand every ``${VAR}`` / ``${VAR:default}`` in one string.
+
+    ``$${...}`` escapes to a literal ``${...}``.  An unset variable with no
+    default is a compile-time error, matching the reference's
+    "Cannot evaluate `${VAR}`" failure (a config that silently keeps the
+    raw placeholder would corrupt downstream hosts/paths/keys)."""
+    s = s.replace("$${", _ENV_ESCAPE)
+
+    def sub(m):
+        name, default = m.group(1), m.group(2)
+        if name in env:
+            return str(env[name])
+        if default is not None:
+            return default
+        raise SyntaxError(
+            f"LSCL: cannot evaluate ${{{name}}} — variable not set and no "
+            f"default given (use ${{{name}:default}} or pass "
+            f"context={{'env': {{...}}}})")
+
+    return _ENV_VAR_RE.sub(sub, s).replace(_ENV_ESCAPE, "${")
+
+
+def expand_env_value(v, env: dict):
+    """Recursive expansion over an attribute value (str/list/hash)."""
+    if isinstance(v, str):
+        return expand_env_str(v, env)
+    if isinstance(v, list):
+        return [expand_env_value(x, env) for x in v]
+    if isinstance(v, dict):
+        return {expand_env_str(k, env) if isinstance(k, str) else k:
+                expand_env_value(x, env) for k, x in v.items()}
+    return v
+
+
+def _env_snapshot(context: dict | None) -> dict:
+    """Driver-side snapshot of the substitution sources: os.environ plus a
+    ``context['env']`` secret map (highest precedence — the reference
+    checks its secret store before the environment).  Snapshotting on the
+    driver is the cluster-safe shape (same as the environment filter):
+    expanded values become plain literals in the plan, so executors never
+    consult their own environments."""
+    import os
+
+    env = dict(os.environ)
+    env.update((context or {}).get("env") or {})
+    return env
+
+
+def expand_sections(sections: dict[str, list],
+                    context: dict | None = None) -> dict[str, list]:
+    """Expand ${VAR} in every plugin's attrs across all sections, in place
+    (conditional EXPRESSIONS are not expanded — the reference substitutes
+    in plugin config values only)."""
+    env = _env_snapshot(context)
+
+    def walk(nodes):
+        for n in nodes:
+            if isinstance(n, PluginNode):
+                n.attrs = expand_env_value(n.attrs, env)
+            elif isinstance(n, IfNode):
+                for _cond, body in n.branches:
+                    walk(body)
+                if n.else_nodes:
+                    walk(n.else_nodes)
+
+    for nodes in sections.values():
+        walk(nodes)
+    return sections
+
+
+# ---------------------------------------------------------------------------
 # expression compiler (EventCondition.java semantics via functions/conditions)
 # ---------------------------------------------------------------------------
 
@@ -825,6 +907,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
             f"LSCL: {unsupported} present — compile_lscl handles the filter "
             f"section only; use compile_lscl_job(text, ...) to run a complete "
             f"config (generator/file/stdin inputs, file/stdout outputs)")
+    expand_sections(sections, context)
     return Pipeline(compile_items(sections.get("filter", []), context))
 
 
@@ -1257,4 +1340,6 @@ def _file_multiline(spark, paths: list[str], a: dict) -> DataFrame:
 
 def compile_lscl_job(config_text: str, context: dict | None = None) -> LsclJob:
     """Compile a COMPLETE config (input+filter+output) into an LsclJob."""
-    return LsclJob(Parser(tokenize(config_text)).parse_config(), context)
+    sections = expand_sections(
+        Parser(tokenize(config_text)).parse_config(), context)
+    return LsclJob(sections, context)

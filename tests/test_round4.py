@@ -153,6 +153,195 @@ def test_lscl_elapsed_id_fields_attr(spark):
 # ADVICE r3: chunking whitespace normalization
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round 4: ${VAR} / ${VAR:default} expansion (ConfigVariableExpander.java;
+# docs/reference/environment-variables.md)
+# ---------------------------------------------------------------------------
+
+class TestEnvVarExpansion:
+    def test_expand_str_semantics(self):
+        from logstash_spark.plans.lscl import expand_env_str
+
+        env = {"HOST": "db1", "PORT": "5432"}
+        assert expand_env_str("${HOST}:${PORT}", env) == "db1:5432"
+        assert expand_env_str("${MISSING:fallback}", env) == "fallback"
+        assert expand_env_str("${MISSING:}", env) == ""
+        assert expand_env_str("$${HOST}", env) == "${HOST}"   # escape
+        assert expand_env_str("no vars", env) == "no vars"
+        with pytest.raises(SyntaxError, match="MISSING"):
+            expand_env_str("${MISSING}", env)
+
+    def test_filter_config_with_env_vars(self, spark):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        df = spark.createDataFrame([("a",), ("b",)], "text string")
+        cfg = """
+        filter {
+          mutate { add_field => { "env_name" => "${DEPLOY_ENV:staging}" }
+                   add_tag => ["${EXTRA_TAG}"] }
+        }
+        """
+        out = compile_lscl(cfg, context={"env": {"EXTRA_TAG": "from-env"}})(df)
+        r = out.collect()[0]
+        assert r.env_name == "staging" and "from-env" in r.tags
+
+    def test_context_env_overrides_osenviron(self, spark, monkeypatch):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        monkeypatch.setenv("LS_TEST_VAR", "from-os")
+        df = spark.createDataFrame([("a",)], "text string")
+        cfg = 'filter { mutate { add_field => { "v" => "${LS_TEST_VAR}" } } }'
+        assert compile_lscl(cfg)(df).collect()[0].v == "from-os"
+        out = compile_lscl(cfg, context={"env": {"LS_TEST_VAR": "secret"}})(df)
+        assert out.collect()[0].v == "secret"   # secret store wins
+
+    def test_nested_hash_and_conditionals_untouched(self, spark):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        df = spark.createDataFrame([("x",)], "text string")
+        # ${...} expands inside hash values under an if; the conditional
+        # EXPRESSION itself is not an expansion site (reference behavior)
+        cfg = """
+        filter {
+          if [text] == "x" {
+            mutate { add_field => { "k" => "${A:1}-${B:2}" } }
+          }
+        }
+        """
+        assert compile_lscl(cfg)(df).collect()[0].k == "1-2"
+
+    def test_unset_var_fails_at_compile(self):
+        from logstash_spark.plans.lscl import compile_lscl
+
+        with pytest.raises(SyntaxError, match="NOT_A_REAL_VAR"):
+            compile_lscl(
+                'filter { mutate { add_field => '
+                '{ "k" => "${NOT_A_REAL_VAR_XYZ_123}" } } }')
+
+
+# ---------------------------------------------------------------------------
+# round 4: pipelines.yml loader + reload identity (agent.rb,
+# state_resolver.rb, PipelineIR.uniqueHash)
+# ---------------------------------------------------------------------------
+
+class TestPipelinesYml:
+    def test_composed_equals_fused(self, spark, transcripts):
+        """The two-pipeline yml output must equal the fused single config
+        (the pipeline_p2p oracle shape, VERDICT r3 'Next round' #3)."""
+        from logstash_spark.catalog import (P2P_PIPELINES_YML)
+        from logstash_spark.plans.lscl import compile_lscl
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        pset = load_pipelines_yml(P2P_PIPELINES_YML)
+        assert pset.topo_order() == ["upstream", "downstream"]
+        got = pset.run(spark, stdin_dfs={"upstream": transcripts})["downstream"]
+
+        fused_cfg = """
+        filter {
+          grok { match => { "text" => "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name} msg=%{WORD:msg}" } }
+          if "_grokparsefailure" in [tags] { drop {} }
+          mutate { uppercase => ["tool_name"] }
+          if [status] >= 400 { mutate { add_tag => ["error"] } }
+        }
+        """
+        want = compile_lscl(fused_cfg)(transcripts)
+        cols = ["conv_id", "turn_idx", "status", "tool_name"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_topo_order_respects_bus(self):
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        yml = """
+- pipeline.id: c
+  config.string: "input { pipeline { address => \\"mid\\" } } output { null {} }"
+- pipeline.id: a
+  config.string: "input { generator { count => 1 } } output { pipeline { send_to => [\\"top\\"] } }"
+- pipeline.id: b
+  config.string: "input { pipeline { address => \\"top\\" } } output { pipeline { send_to => [\\"mid\\"] } }"
+"""
+        order = load_pipelines_yml(yml).topo_order()
+        assert order.index("a") < order.index("b") < order.index("c")
+
+    def test_cycle_rejected(self):
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        yml = """
+- pipeline.id: p1
+  config.string: "input { pipeline { address => \\"x\\" } } output { pipeline { send_to => [\\"y\\"] } }"
+- pipeline.id: p2
+  config.string: "input { pipeline { address => \\"y\\" } } output { pipeline { send_to => [\\"x\\"] } }"
+"""
+        with pytest.raises(SyntaxError, match="cycle"):
+            load_pipelines_yml(yml).topo_order()
+
+    def test_spec_hash_reload_actions(self):
+        from logstash_spark.plans.pipelines_yml import (load_pipelines_yml,
+                                                        resolve_actions)
+
+        v1 = """
+- pipeline.id: keep
+  config.string: "input { generator { count => 1 } } output { null {} }"
+- pipeline.id: gone
+  config.string: "input { generator { count => 2 } } output { null {} }"
+- pipeline.id: changed
+  config.string: "input { generator { count => 3 } } output { null {} }"
+"""
+        v2 = """
+- pipeline.id: keep
+  config.string: "input { generator { count => 1 } } output { null {} }"
+- pipeline.id: changed
+  config.string: "input { generator { count => 30 } } output { null {} }"
+- pipeline.id: fresh
+  config.string: "input { generator { count => 4 } } output { null {} }"
+"""
+        acts = resolve_actions(load_pipelines_yml(v1), load_pipelines_yml(v2))
+        assert acts == {"keep": "unchanged", "gone": "stop",
+                        "changed": "reload", "fresh": "start"}
+
+    def test_env_change_is_a_reload(self):
+        """${VAR} resolution participates in the spec hash: a changed
+        secret/env value must trigger reload on converge."""
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        yml = """
+- pipeline.id: p
+  config.string: "input { generator { message => \\"${GREETING:hi}\\" } } output { null {} }"
+"""
+        h1 = load_pipelines_yml(yml).hashes()["p"]
+        h2 = load_pipelines_yml(
+            yml, context={"env": {"GREETING": "yo"}}).hashes()["p"]
+        assert h1 != h2
+
+    def test_duplicate_id_rejected(self):
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        yml = """
+- pipeline.id: p
+  config.string: "output { null {} }"
+- pipeline.id: p
+  config.string: "output { null {} }"
+"""
+        with pytest.raises(SyntaxError, match="duplicate"):
+            load_pipelines_yml(yml)
+
+    def test_path_config_glob(self, spark, tmp_path):
+        from logstash_spark.plans.pipelines_yml import load_pipelines_yml
+
+        (tmp_path / "01-in.conf").write_text(
+            'input { generator { count => 3 } }')
+        (tmp_path / "02-out.conf").write_text('output { null {} }')
+        yml = f"""
+- pipeline.id: globbed
+  path.config: "{tmp_path}/*.conf"
+  pipeline.workers: 2
+"""
+        pset = load_pipelines_yml(yml)
+        assert pset.specs["globbed"].settings["pipeline.workers"] == 2
+        out = pset.run(spark)["globbed"]
+        assert out.count() == 3
+
+
 def test_chunking_strips_all_whitespace_kinds(spark):
     from logstash_spark.datahub.chunking import chunk_documents
 
