@@ -150,6 +150,148 @@ def test_lscl_elapsed_id_fields_attr(spark):
 
 
 # ---------------------------------------------------------------------------
+# round 4: real multimodal decode (pure-stdlib PNG/PPM, VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+
+def _encode_png(px, color_type, filters=None, palette=None):
+    """Minimal PNG ENCODER (test fixture only): writes IHDR/PLTE/IDAT/IEND
+    with a caller-chosen filter type per row, so every unfilter path in the
+    decoder gets exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y]
+        row = flat[y]
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prev) % 256
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            enc = (row - (left + prev) // 2) % 256
+        elif ft == 4:
+            enc = np.zeros_like(row)
+            prev_row = prev
+            for x in range(w * bpp):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev_row[x])
+                c = int(flat[y - 1][x - bpp]) if (x >= bpp and y > 0) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(row[x]) - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+class TestRealImageDecode:
+    def _rng_px(self, h, w, c, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+
+    def test_png_roundtrip_all_filters(self):
+        """RGB image encoded with filter types 0..4 across rows must decode
+        back to the exact source pixels."""
+        import numpy as np
+
+        from logstash_spark.datahub.multimodal import decode_png
+
+        px = self._rng_px(5, 4, 3)
+        payload = _encode_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+        got = decode_png(payload)
+        assert np.array_equal(got, px)
+
+    def test_png_color_types(self):
+        import numpy as np
+
+        from logstash_spark.datahub.multimodal import decode_png
+
+        for ct, c in [(0, 1), (4, 2), (6, 4)]:
+            px = self._rng_px(3, 3, c, seed=ct)
+            got = decode_png(_encode_png(px, ct, filters=[2, 1, 4]))
+            assert np.array_equal(got, px), f"color type {ct}"
+        # palette: indices -> PLTE rows
+        idx = np.array([[[0], [1]], [[2], [0]]], dtype=np.uint8)
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]])
+        got = decode_png(_encode_png(idx, 3, palette=pal))
+        assert got.shape == (2, 2, 3) and list(got[0, 1]) == [0, 255, 0]
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        from logstash_spark.datahub.multimodal import decode_ppm
+
+        px = self._rng_px(2, 3, 3)
+        payload = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+        assert np.array_equal(decode_ppm(payload), px)
+
+    def test_malformed_yields_null_not_crash(self):
+        from logstash_spark.datahub.multimodal import decode_image
+
+        assert decode_image(None) is None
+        assert decode_image(b"\x89PNG\r\n\x1a\x0agarbage") is None
+        assert decode_image(b"P6 broken") is None
+        assert decode_image(b"\xff\xd8\xff\xe0 jpeg-ish") is None  # no codec
+
+    def test_extract_features_real_path_end_to_end(self, spark):
+        """fake=False over a media frame: PNG rows get pixel-stat features,
+        undecodable rows get null feat — through the real mapInPandas."""
+        import numpy as np
+
+        from logstash_spark.datahub.multimodal import (MEDIA_SCHEMA,
+                                                       extract_features)
+
+        solid = np.full((4, 6, 3), 128, dtype=np.uint8)     # flat gray
+        png = _encode_png(solid, 2, filters=[0, 1, 2, 3])
+        rows = [
+            (1, "image/png", (6, 4, 1), bytearray(png)),
+            (2, "image/jpeg", (1, 1, 1), bytearray(b"\xff\xd8\xffnope")),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in
+               extract_features(media, fake=False).collect()}
+        f = out[1].feat
+        assert f[0] == 6.0 and f[1] == 4.0 and f[2] == 3.0
+        assert abs(f[3] - 128 / 255) < 1e-9 and f[4] == 0.0   # mean, std
+        assert f[5] == 0.0 and f[6] == 0.0 and f[7] == 0.0    # dark/bright/grad
+        assert out[2].feat is None
+
+    def test_fake_path_unchanged_for_oracle(self):
+        import hashlib
+
+        from logstash_spark.datahub.multimodal import decode_stub
+
+        h = hashlib.sha256(b"abc").digest()
+        assert decode_stub(b"abc", fake=True) == [b / 255.0 for b in h[:8]]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r3: chunking whitespace normalization
 # ---------------------------------------------------------------------------
 
