@@ -659,26 +659,54 @@ HAVING MAX(CASE WHEN contains(text, 'task=done') THEN 1 ELSE 0 END) = 1
 # ---------------------------------------------------------------------------
 
 def q_elapsed(spark, sf_dir):
-    from logstash_spark.operators.windows import elapsed_join
+    """elapsed filter, BOTH paths in one gate: matched start/end pairs
+    (new_event_on_match) unioned with the timeout path (elapsed_expired
+    rows carry expired=true, null end/elapsed) — the r3 elapsed_expired key
+    folded in here to free a registry slot."""
+    from logstash_spark.operators.windows import elapsed_expired, elapsed_join
 
     t = _t(spark, sf_dir)
-    out = elapsed_join(t, "conv_id", "ts",
-                       start_pred=F.col("role") == "user",
-                       end_pred=F.col("role").isin("assistant", "tool"),
-                       max_lag="interval 2 hours", id_cols=["turn_idx"])
-    return out.select("conv_id", "start_turn_idx", "start_ts", "end_ts", "elapsed_sec")
+    start_pred = F.col("role") == "user"
+    end_pred = F.col("role").isin("assistant", "tool")
+    matched = elapsed_join(
+        t, "conv_id", "ts", start_pred=start_pred, end_pred=end_pred,
+        max_lag="interval 2 hours", id_cols=["turn_idx"]) \
+        .select("conv_id", "start_turn_idx", "start_ts", "end_ts",
+                "elapsed_sec", F.lit(False).alias("expired"))
+    expired = elapsed_expired(
+        t, "conv_id", "ts", start_pred=start_pred, end_pred=end_pred,
+        max_lag="interval 2 hours", id_cols=["turn_idx"]) \
+        .select("conv_id", "start_turn_idx", "start_ts",
+                F.lit(None).cast("timestamp").alias("end_ts"),
+                F.lit(None).cast("long").alias("elapsed_sec"),
+                F.lit(True).alias("expired"))
+    return matched.unionByName(expired)
 
 
 ORACLE_ELAPSED = oracle_with_transcripts("""
 SELECT s.conv_id, s.turn_idx AS start_turn_idx, s.ts AS start_ts,
        MIN(e.ts) AS end_ts,
-       CAST(FLOOR(epoch(MIN(e.ts))) AS BIGINT) - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS elapsed_sec
+       CAST(FLOOR(epoch(MIN(e.ts))) AS BIGINT) - CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS elapsed_sec,
+       false AS expired
 FROM transcripts s
 JOIN transcripts e
   ON e.conv_id = s.conv_id AND e.role IN ('assistant','tool')
  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR
 WHERE s.role = 'user'
 GROUP BY s.conv_id, s.turn_idx, s.ts
+UNION ALL
+SELECT s.conv_id, s.turn_idx AS start_turn_idx, s.ts AS start_ts,
+       CAST(NULL AS TIMESTAMP) AS end_ts,
+       CAST(NULL AS BIGINT) AS elapsed_sec,
+       true AS expired
+FROM transcripts s
+WHERE s.role = 'user'
+  AND NOT EXISTS (
+    SELECT 1 FROM transcripts e
+    WHERE e.conv_id = s.conv_id
+      AND e.role IN ('assistant', 'tool')
+      AND e.ts > s.ts
+      AND e.ts <= s.ts + INTERVAL 2 HOUR)
 """)
 
 
@@ -1199,33 +1227,6 @@ FROM transcripts
 
 # ---------------------------------------------------------------------------
 # 48b. elapsed expired (timeout path of the elapsed plugin)
-# ---------------------------------------------------------------------------
-
-def q_elapsed_expired(spark, sf_dir):
-    from logstash_spark.operators.windows import elapsed_expired
-
-    t = _t(spark, sf_dir)
-    out = elapsed_expired(t, "conv_id", "ts",
-                          start_pred=F.col("role") == "user",
-                          end_pred=F.col("role").isin("assistant", "tool"),
-                          max_lag="interval 2 hours", id_cols=["turn_idx"])
-    return out.select(
-        "conv_id", "start_turn_idx", "start_ts",
-        F.array_contains("tags", "elapsed_expired_error").alias("expired"))
-
-
-ORACLE_ELAPSED_EXPIRED = oracle_with_transcripts("""
-SELECT s.conv_id, s.turn_idx AS start_turn_idx, s.ts AS start_ts,
-       true AS expired
-FROM transcripts s
-WHERE s.role = 'user'
-  AND NOT EXISTS (
-    SELECT 1 FROM transcripts e
-    WHERE e.conv_id = s.conv_id
-      AND e.role IN ('assistant', 'tool')
-      AND e.ts > s.ts
-      AND e.ts <= s.ts + INTERVAL 2 HOUR)
-""")
 
 
 # ---------------------------------------------------------------------------
@@ -2215,7 +2216,6 @@ CATALOG: dict[str, tuple] = {
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, ORACLE_DEDUP_EMBEDDING_LSH),
-    "elapsed_expired": (q_elapsed_expired, ORACLE_ELAPSED_EXPIRED),
     "bytes_range_age": (q_bytes_range_age, ORACLE_BYTES_RANGE_AGE),
     "cipher_json_encode": (q_cipher_json_encode, ORACLE_CIPHER_JSON_ENCODE),
     "extractnumbers_metricize": (q_extractnumbers_metricize,

@@ -47,18 +47,12 @@ FROM documents GROUP BY 1
 
 
 # 2. minhash + LSH candidate pairs -------------------------------------------
+# Gate setting is the PRODUCTION-recall banding 16 hashes / 4-per-band
+# (Jaccard-0.8 pairs at ~87% candidate recall vs 8/4's ~56%); the 8/4
+# variant stays pytest-covered (VERDICT r3: dedup_minhash16 folded in here
+# to free a registry slot for the new datahub gates).
 
 def q_dedup_minhash(spark, sf_dir):
-    from logstash_spark.datahub.dedup import minhash_lsh_dedup
-
-    load_tables(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(spark.table("documents"))
-
-
-def q_dedup_minhash16(spark, sf_dir):
-    """Production-recall banding: 16 hashes / 4-per-band = 4 bands, putting
-    Jaccard-0.8 pairs at ~87% candidate recall vs the 8/4 default's ~56%
-    (VERDICT r2 "Next round" #5).  Same plan shape, 2x the MIN aggs."""
     from logstash_spark.datahub.dedup import minhash_lsh_dedup
 
     load_tables(spark, sf_dir, "documents")
@@ -66,8 +60,9 @@ def q_dedup_minhash16(spark, sf_dir):
                              n_hashes=16, band_size=4)
 
 
-def _minhash_oracle(n_hashes: int, band_size: int) -> str:
-    """DuckDB mirror of the minhash+banding pipeline at any (n, r)."""
+def _minhash_pairs_ctes(n_hashes: int, band_size: int) -> str:
+    """DuckDB CTE chain for the minhash+banding pipeline at any (n, r);
+    exposes ``pairs(a, b)`` (requires SHINGLES_CTE upstream)."""
     aggs = ",\n         ".join(
         f"MIN(md5(CONCAT('{i}|', shingle))) AS h{i}" for i in range(n_hashes))
     band_selects = "\n  UNION ALL\n".join(
@@ -76,21 +71,28 @@ def _minhash_oracle(n_hashes: int, band_size: int) -> str:
             f"h{i}" for i in range(b * band_size, (b + 1) * band_size)))
         for b in range(n_hashes // band_size))
     return f"""
-WITH {SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
          {aggs}
   FROM shingles GROUP BY doc_id),
 bands AS (
-{band_selects})
-SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+{band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle(n_hashes: int, band_size: int) -> str:
+    return f"""
+WITH {SHINGLES_CTE},
+{_minhash_pairs_ctes(n_hashes, band_size)}
+SELECT a, b FROM pairs
 """
 
 
-ORACLE_DEDUP_MINHASH = _minhash_oracle(8, 4)
-ORACLE_DEDUP_MINHASH16 = _minhash_oracle(16, 4)
+ORACLE_DEDUP_MINHASH = _minhash_oracle(16, 4)
 
 
 # 3. simhash ------------------------------------------------------------------
@@ -195,9 +197,12 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
-# 6. IVF-bucketed ANN -------------------------------------------------------------
+# 6. IVF-bucketed ANN (gate runs the nprobe=2 recall-vs-cost setting;
+#    nprobe=1 stays pytest-covered — ann_ivf_nprobe folded in here to free
+#    a registry slot, VERDICT r3 "Next round" #5) -----------------------------
 
 CENTROID_STEP = 97
+IVF_NPROBE = 2
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -208,52 +213,10 @@ def q_ann_ivf(spark, sf_dir):
                  .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     queries = (ed.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return ivf_topk(ed, queries, centroids, k=TOPK_K)
-
-
-ORACLE_ANN_IVF = f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-           FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0),
-assign AS (
-  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
-                      c.centroid_id ASC) AS rn
-  FROM embeddings e, c),
-assigned AS (SELECT vec_id, v, centroid_id FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
-      FROM assigned WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT q.query_id, q.centroid_id, a.vec_id,
-         list_cosine_similarity(q.qv, a.v) AS cos
-  FROM q JOIN assigned a
-    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored)
-SELECT query_id, centroid_id, vec_id, CAST(rank AS INT) AS rank, cos
-FROM ranked WHERE rank <= {TOPK_K}
-"""
-
-
-# 6b. IVF with nprobe=2 (recall-vs-cost knob) -------------------------------------
-
-IVF_NPROBE = 2
-
-
-def q_ann_ivf_nprobe(spark, sf_dir):
-    from logstash_spark.datahub.similarity import ivf_topk
-
-    ed = _emb_double(spark, sf_dir)
-    centroids = (ed.filter(F.pmod("vec_id", F.lit(CENTROID_STEP)) == 0)
-                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    queries = (ed.filter(F.col("vec_id") < N_QUERIES)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
     return ivf_topk(ed, queries, centroids, k=TOPK_K, nprobe=IVF_NPROBE)
 
 
-ORACLE_ANN_IVF_NPROBE = f"""
+ORACLE_ANN_IVF = f"""
 WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
            FROM embeddings WHERE vec_id % {CENTROID_STEP} = 0),
 assign AS (
@@ -490,19 +453,165 @@ FROM filtered f JOIN kept k ON f.doc_id = k.doc_id
 """
 
 
+# 13. chunking + deterministic sampling (VERDICT r3 "Next round" #5) ----------
+
+CHUNK_MAX_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STRIDE = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+SAMPLE_RATE = 0.5
+SAMPLE_SEED = 42
+
+
+def q_chunking_sampling(spark, sf_dir):
+    """chunk_documents -> deterministic_sample over (doc_id, chunk_idx),
+    md5 hash method so the oracle reproduces the keep decisions exactly."""
+    from logstash_spark.datahub.chunking import (chunk_documents,
+                                                 deterministic_sample)
+
+    load_tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(spark.table("documents"),
+                             max_tokens=CHUNK_MAX_TOKENS,
+                             overlap=CHUNK_OVERLAP)
+    key = F.concat_ws(":", F.col("doc_id").cast("string"),
+                      F.col("chunk_idx").cast("string"))
+    return deterministic_sample(chunks, SAMPLE_RATE, key_col=key,
+                                seed=SAMPLE_SEED, method="md5") \
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
+ORACLE_CHUNKING_SAMPLING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN [] :: VARCHAR[]
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS tk
+  FROM documents),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 1),
+chunks AS (
+  SELECT doc_id, tk,
+         UNNEST(generate_series(
+           0, CAST(CEIL(GREATEST(n - {CHUNK_OVERLAP}, 1)
+                        / {CHUNK_STRIDE}.0) AS INT) - 1)) AS chunk_idx
+  FROM sized),
+c2 AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(tk[chunk_idx * {CHUNK_STRIDE} + 1
+                           : chunk_idx * {CHUNK_STRIDE} + {CHUNK_MAX_TOKENS}],
+                         ' ') AS chunk_text,
+         len(tk[chunk_idx * {CHUNK_STRIDE} + 1
+               : chunk_idx * {CHUNK_STRIDE} + {CHUNK_MAX_TOKENS}])
+           AS n_chunk_tokens
+  FROM chunks)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+       CAST(n_chunk_tokens AS INT) AS n_chunk_tokens
+FROM c2
+WHERE CAST(CONCAT('0x', SUBSTRING(
+        md5(CONCAT(doc_id, ':', chunk_idx, '|{SAMPLE_SEED}')), 1, 8))
+      AS BIGINT) / 4294967296.0 < {SAMPLE_RATE}
+"""
+
+
+# 14. benchmark decontamination ------------------------------------------------
+# the "benchmark" eval set is a deterministic slice of the corpus itself
+# (doc_id % 20 == 0) so the gate needs no external data; hits against it
+# flag contaminated training docs.
+
+DECON_N = 8
+DECON_BENCH_MOD = 20
+
+
+def q_decontamination(spark, sf_dir):
+    from logstash_spark.datahub.dedup import benchmark_contamination
+
+    load_tables(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(DECON_BENCH_MOD)) == 0) \
+                .select("text")
+    out = benchmark_contamination(docs, bench, n=DECON_N)
+    return out.select("doc_id", "contamination_hits", "contaminated")
+
+
+def _ngram_shingles_cte(n: int, src: str = "documents",
+                        where: str = "") -> str:
+    """DuckDB word n-gram CTE chain over ``src`` -> shingles_{n}(doc_id,
+    shingle), mirroring dedup.word_shingles at any n."""
+    concat = ", ' ', ".join(f"tk[i+{k}]" for k in range(n))
+    return f"""
+toks{n} AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS tk
+  FROM {src} {where}),
+idx{n} AS (
+  SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - {n - 1})) AS i
+  FROM toks{n} WHERE len(tk) >= {n}),
+shingles_{n} AS (
+  SELECT DISTINCT doc_id, CONCAT({concat}) AS shingle FROM idx{n})"""
+
+
+ORACLE_DECONTAMINATION = f"""
+WITH {_ngram_shingles_cte(DECON_N)},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles_{DECON_N}
+  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS contamination_hits
+  FROM shingles_{DECON_N} s JOIN bench USING (shingle)
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.contamination_hits, 0) AS contamination_hits,
+       COALESCE(h.contamination_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# 15. connected-components dedup clustering -------------------------------------
+# minhash-LSH candidate pairs -> transitive duplicate groups; the oracle
+# recomputes the pairs AND the components (recursive-CTE transitive
+# closure) from scratch.
+
+def q_dedup_components(spark, sf_dir):
+    from logstash_spark.datahub.components import dedup_groups
+    from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+    load_tables(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    pairs = minhash_lsh_dedup(docs, n_hashes=16, band_size=4)
+    return dedup_groups(docs, pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+{_minhash_pairs_ctes(16, 4)},
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS group_id,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 DATAHUB_CATALOG: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, ORACLE_DEDUP_MINHASH),
-    "dedup_minhash16": (q_dedup_minhash16, ORACLE_DEDUP_MINHASH16),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
-    "ann_ivf_nprobe": (q_ann_ivf_nprobe, ORACLE_ANN_IVF_NPROBE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, ORACLE_ANN_LSH),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_quality": (q_quality, ORACLE_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
     "corpus_clean": (q_corpus_clean, ORACLE_CORPUS_CLEAN),
+    "chunking_sampling": (q_chunking_sampling, ORACLE_CHUNKING_SAMPLING),
+    "decontamination": (q_decontamination, ORACLE_DECONTAMINATION),
 }

@@ -58,36 +58,51 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.size(piece).alias("n_chunk_tokens"))
 
 
-def _keep_pred(key: Column, rate, seed: int) -> Column:
+def _keep_pred(key: Column, rate, seed: int,
+               method: str = "xxhash64") -> Column:
     """Deterministic keep predicate: uniform hash fraction < rate.
 
-    ``rate`` may be a float or a per-row Column of rates (stratified)."""
-    h = F.xxhash64(key, F.lit(seed))
-    # xxhash64 is signed int64; shift to [0, 1) uniformly
-    frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
+    ``rate`` may be a float or a per-row Column of rates (stratified).
+    ``method``: ``xxhash64`` (Spark-native, fastest) or ``md5`` (first 8
+    hex chars of md5(key|seed) as a 32-bit fraction — reproducible in ANY
+    engine, the same trick as the minhash signatures; the DuckDB oracle
+    uses this path)."""
+    if method == "md5":
+        h = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}")))
+        frac = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+                / F.lit(float(2 ** 32)))
+    elif method == "xxhash64":
+        h = F.xxhash64(key, F.lit(seed))
+        # xxhash64 is signed int64; shift to [0, 1) uniformly
+        frac = (h.cast("double") / F.lit(float(2 ** 64))) + F.lit(0.5)
+    else:
+        raise ValueError(f"unknown sample hash method {method!r}")
     return frac < (rate if isinstance(rate, Column) else F.lit(float(rate)))
 
 
 def deterministic_sample(df: DataFrame, rate: float,
-                         key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+                         key_col: str | Column = "doc_id", seed: int = 42,
+                         method: str = "xxhash64") -> DataFrame:
     """Keep ~rate of rows, decided by hash(key, seed) — reproducible
     across runs, engines, partitionings, and retries (rand() is none of
-    those under task retry)."""
+    those under task retry).  ``key_col`` may be a composite Column."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return df.filter(_keep_pred(F.col(key_col), rate, seed))
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.filter(_keep_pred(key, rate, seed, method))
 
 
 def stratified_sample(df: DataFrame, strata_col: str,
                       rates: dict[str, float], default_rate: float = 0.0,
-                      key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+                      key_col: str = "doc_id", seed: int = 42,
+                      method: str = "xxhash64") -> DataFrame:
     """Per-stratum deterministic rates (the training-mix shape: 'keep 100%
     of books, 10% of web, drop the rest').  One pure-expression filter —
     no shuffle, no per-stratum scans."""
     rate = F.lit(float(default_rate))
     for k, r in rates.items():
         rate = F.when(F.col(strata_col) == k, F.lit(float(r))).otherwise(rate)
-    return df.filter(_keep_pred(F.col(key_col), rate, seed))
+    return df.filter(_keep_pred(F.col(key_col), rate, seed, method))
 
 
 def pack_chunks(df: DataFrame, budget: int,

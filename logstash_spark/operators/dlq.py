@@ -47,6 +47,75 @@ def dlq_replay(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def dlq_expire(path: str, max_age_seconds: int | None = None,
+               max_bytes: int | None = None, now=None) -> dict:
+    """DLQ retention policy (environment.rb:103-108:
+    ``dead_letter_queue.retain.age`` and ``dead_letter_queue.max_bytes``
+    with ``storage_policy => drop_older``; DeadLetterQueueWriter's segment
+    expiry).  Segments here are the dlq table's parquet part files:
+
+    * age: a segment whose NEWEST entry (parquet footer max(dlq_ts) — no
+      data scan) is older than ``max_age_seconds`` is deleted, mirroring
+      the reference deleting segments whose last entry passed retain.age;
+    * size: oldest-first deletion until the table is <= ``max_bytes``
+      (the reference's drop_older storage policy).
+
+    Returns {"removed": [paths], "kept_files": n, "kept_bytes": n}.
+    Replay after expiry honors commit offsets naturally: expired entries
+    are simply absent, newer-than-offset entries still stream.
+    """
+    import datetime as _dt
+    import os
+
+    import pyarrow.parquet as _pq
+
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=_dt.timezone.utc)
+    segs = []                                  # (newest_ts, bytes, filepath)
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            newest = None
+            meta = _pq.ParquetFile(fp).metadata
+            ts_idx = {meta.schema.column(i).name: i
+                      for i in range(meta.num_columns)}.get("dlq_ts")
+            if ts_idx is not None:
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ts_idx).statistics
+                    if st is not None and st.max is not None:
+                        m = st.max
+                        if m.tzinfo is None:
+                            m = m.replace(tzinfo=_dt.timezone.utc)
+                        newest = m if newest is None else max(newest, m)
+            if newest is None:                 # no stats: fall back to mtime
+                newest = _dt.datetime.fromtimestamp(
+                    os.path.getmtime(fp), _dt.timezone.utc)
+            segs.append((newest, os.path.getsize(fp), fp))
+
+    removed = []
+    if max_age_seconds is not None:
+        cutoff = now - _dt.timedelta(seconds=max_age_seconds)
+        for newest, _sz, fp in list(segs):
+            if newest < cutoff:
+                os.remove(fp)
+                removed.append(fp)
+                segs.remove((newest, _sz, fp))
+    if max_bytes is not None:
+        total = sum(sz for _t, sz, _f in segs)
+        for newest, sz, fp in sorted(segs):    # oldest first
+            if total <= max_bytes:
+                break
+            os.remove(fp)
+            removed.append(fp)
+            total -= sz
+        segs = [s for s in segs if s[2] not in set(removed)]
+    return {"removed": sorted(removed), "kept_files": len(segs),
+            "kept_bytes": sum(sz for _t, sz, _f in segs)}
+
+
 def dlq_replay_stream(spark, path: str,
                       commit_offset_ts=None,
                       max_files_per_trigger: int | None = None) -> DataFrame:

@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet min/max stats, so
+        # event-time predicates can't skip row groups at scan time and the
+        # DLQ's footer-stats retention can't see segment ages; MICROS is
+        # the modern type every engine (DuckDB, Iceberg readers) handles
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # map-side partial merge of session windows before the shuffle:
         # 99M rows -> ~2.5M pre-merged sessions on the wire (measured 3.1x

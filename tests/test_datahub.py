@@ -107,8 +107,10 @@ def test_multimodal_stub(spark):
     h = hashlib.sha256(b"hello world").digest()
     assert feats.feat == [b / 255.0 for b in h[:8]]
     assert feats.payload_sha == hashlib.sha256(b"hello world").hexdigest()
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        M.extract_features(media, fake=False).collect()
+    # real path: utf8 text is not a decodable image -> null feat, no crash
+    # (the genuine PNG/PPM decode is covered in test_round4)
+    real = M.extract_features(media, fake=False).collect()[0]
+    assert real.feat is None
 
 
 def test_frame_sample(spark):

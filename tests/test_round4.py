@@ -292,6 +292,58 @@ class TestRealImageDecode:
 
 
 # ---------------------------------------------------------------------------
+# round 4: projection-aware grok (VERDICT r3 "What's wrong" #3 / next #6)
+# ---------------------------------------------------------------------------
+
+class TestProjectionAwareGrok:
+    TPL = "status=%{INT:status:int} bytes=%{INT:bytes:int} tool=%{WORD:tool_name}"
+
+    def test_match_only_has_no_generate(self, spark, transcripts):
+        from logstash_spark.operators.grok import grok
+
+        out = grok(transcripts, "text", self.TPL, project=[])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan
+        assert "status" not in out.columns
+        # match/tag semantics identical to the full path
+        full = grok(transcripts, "text", self.TPL)
+        a = out.select("conv_id", "turn_idx",
+                       F.array_contains("tags", "_grokparsefailure").alias("f"))
+        b = full.select("conv_id", "turn_idx",
+                        F.array_contains("tags", "_grokparsefailure").alias("f"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_subset_projection_values_match_full(self, spark, transcripts):
+        from logstash_spark.operators.grok import grok
+
+        sub = grok(transcripts, "text", self.TPL, project=["status"])
+        full = grok(transcripts, "text", self.TPL)
+        assert "bytes" not in sub.columns and "status" in sub.columns
+        a = sub.select("conv_id", "turn_idx", "status")
+        b = full.select("conv_id", "turn_idx", "status")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_multi_template_match_only(self, spark):
+        from logstash_spark.operators.grok import grok
+
+        df = spark.createDataFrame(
+            [("num=5",), ("word=hi",), ("garbage",)], "text string")
+        out = grok(df, "text", ["num=%{INT:n:int}", "word=%{WORD:w}"],
+                   project=[])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan
+        rows = {r.text: "_grokparsefailure" in (r.tags or [])
+                for r in out.collect()}
+        assert rows == {"num=5": False, "word=hi": False, "garbage": True}
+
+    def test_unknown_projection_name_raises(self, spark, transcripts):
+        from logstash_spark.operators.grok import grok
+
+        with pytest.raises(ValueError, match="nope"):
+            grok(transcripts, "text", self.TPL, project=["nope"])
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r3: chunking whitespace normalization
 # ---------------------------------------------------------------------------
 
@@ -482,6 +534,66 @@ class TestPipelinesYml:
         assert pset.specs["globbed"].settings["pipeline.workers"] == 2
         out = pset.run(spark)["globbed"]
         assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round 4: DLQ retention (environment.rb:103-108, VERDICT r3 "Next round" #8)
+# ---------------------------------------------------------------------------
+
+class TestDlqRetention:
+    def _write_segments(self, spark, path, ages_hours):
+        """One parquet segment per age bucket, dlq_ts back-dated."""
+        import datetime as dt
+
+        now = dt.datetime(2026, 8, 18, 12, 0, 0, tzinfo=dt.timezone.utc)
+        for i, h in enumerate(ages_hours):
+            ts = now - dt.timedelta(hours=h)
+            df = spark.createDataFrame(
+                [(f"evt{i}-{j}", "bad_json", ts.replace(tzinfo=None))
+                 for j in range(50)],
+                "text string, dlq_reason string, dlq_ts timestamp")
+            df.coalesce(1).write.mode("append").parquet(path)
+        return now
+
+    def test_age_expiry(self, spark, tmp_path):
+        from logstash_spark.operators.dlq import dlq_expire, dlq_replay
+
+        path = str(tmp_path / "dlq")
+        now = self._write_segments(spark, path, ages_hours=[100, 30, 1])
+        res = dlq_expire(path, max_age_seconds=48 * 3600, now=now)
+        assert len(res["removed"]) == 1 and res["kept_files"] == 2
+        left = dlq_replay(spark, path)
+        assert left.count() == 100                     # 2 segments survive
+        # replay honors the commit offset over the survivors
+        import datetime as dt
+        cut = (now - dt.timedelta(hours=2)).replace(tzinfo=None)
+        assert left.filter(F.col("dlq_ts") > F.lit(cut)).count() == 50
+
+    def test_size_expiry_drops_oldest_first(self, spark, tmp_path):
+        from logstash_spark.operators.dlq import dlq_expire, dlq_replay
+
+        path = str(tmp_path / "dlq")
+        now = self._write_segments(spark, path, ages_hours=[30, 20, 10])
+        import glob
+        import os
+
+        seg_bytes = max(os.path.getsize(f) for f in
+                        glob.glob(f"{path}/*.parquet"))
+        res = dlq_expire(path, max_bytes=2 * seg_bytes + 10, now=now)
+        assert len(res["removed"]) == 1
+        assert res["kept_bytes"] <= 2 * seg_bytes + 10
+        left = dlq_replay(spark, path).agg(F.min("dlq_ts")).collect()[0][0]
+        # the OLDEST segment (30h) went; 20h newest-min remains
+        assert left.hour == (now.hour - 20) % 24
+
+    def test_noop_when_within_budget(self, spark, tmp_path):
+        from logstash_spark.operators.dlq import dlq_expire
+
+        path = str(tmp_path / "dlq")
+        now = self._write_segments(spark, path, ages_hours=[1])
+        res = dlq_expire(path, max_age_seconds=7 * 24 * 3600,
+                         max_bytes=10 ** 9, now=now)
+        assert res["removed"] == [] and res["kept_files"] == 1
 
 
 def test_chunking_strips_all_whitespace_kinds(spark):

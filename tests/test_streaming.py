@@ -635,3 +635,43 @@ def test_iceberg_wiring_gated(spark):
     assert not iceberg_available(spark)
     with _pytest.raises(NotImplementedError, match="--packages org.apache.iceberg"):
         iceberg_stream_source(spark, "lake.db.transcripts")
+
+
+def test_node_stats_view(spark, stream_src, tmp_path):
+    """_node/stats-shaped view over a real run (VERDICT r3 'Next round' #7):
+    every MetricKeys-derived field present and consistent."""
+    from logstash_spark.streaming.listener import (FlowMetricsListener,
+                                                   node_stats, node_stats_df)
+
+    metrics_path = str(tmp_path / "m.jsonl")
+    listener = FlowMetricsListener(metrics_path)
+    spark.streams.addListener(listener)
+    try:
+        q = J.run_north_star(spark, stream_src, str(tmp_path / "o"),
+                             str(tmp_path / "c"), max_files_per_trigger=2)
+        _wait(q)
+    finally:
+        spark.streams.removeListener(listener)
+
+    stats = node_stats(metrics_path)
+    pipes = stats["pipelines"]
+    assert pipes, "no pipelines captured"
+    for p in pipes.values():                       # every query: full shape
+        assert p["events"]["in"] > 0 and p["events"]["in"] == p["events"]["out"]
+        flow = p["flow"]
+        for k in ("input_throughput", "filter_throughput",
+                  "output_throughput", "queue_backpressure"):
+            assert set(flow[k]) == {"current", "lifetime"}, k
+        assert flow["input_throughput"]["lifetime"] > 0
+        assert 0.0 <= flow["queue_backpressure"]["lifetime"] <= 1.0
+    assert any(p["batches"] >= 2 for p in pipes.values())  # maxFiles=2
+    # the session-window query reports its state-store rows + watermark
+    stateful = [p for p in pipes.values() if p["state"].get("rows_total")]
+    assert stateful and stateful[0]["watermark"] is not None
+
+    df = node_stats_df(spark, metrics_path)
+    rows = {r.pipeline_id: r for r in df.collect()}
+    assert len(rows) == len(pipes)
+    for qid, p in pipes.items():
+        assert rows[qid].events_in == p["events"]["in"]
+        assert rows[qid].state_rows_total == p["state"].get("rows_total")
