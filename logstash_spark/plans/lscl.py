@@ -916,7 +916,8 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 # ---------------------------------------------------------------------------
 
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
-                               "kafka", "tcp", "syslog", "pipeline"})
+                               "kafka", "tcp", "syslog", "pipeline",
+                               "s3", "elasticsearch", "redis"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
                                 "tcp", "pipeline", "iceberg"})
 
@@ -1035,6 +1036,42 @@ class LsclJob:
 
             return syslog_source(spark, a.get("host", "127.0.0.1"),
                                  int(a["port"]))
+        if n.name == "s3":
+            # meta:370 logstash-input-s3: bucket+prefix listing, codec decode
+            from logstash_spark.sources.batch_inputs import s3_source
+
+            return s3_source(spark, a["bucket"], a.get("prefix", ""),
+                             codec=a.get("codec", "line"),
+                             schema=a.get("schema"),
+                             scheme=a.get("scheme", "s3a"))
+        if n.name == "elasticsearch":
+            # meta:269 logstash-input-elasticsearch: query+scroll+size
+            import json as _json
+
+            from logstash_spark.sources.batch_inputs import \
+                elasticsearch_source
+
+            query = a.get("query")
+            if isinstance(query, str):
+                query = _json.loads(query)
+            return elasticsearch_source(
+                spark, a["hosts"] if not isinstance(a.get("hosts"), list)
+                else a["hosts"][0],
+                a.get("index", "logstash-*"), query=query,
+                size=int(a.get("size", 1000)),
+                scroll=a.get("scroll", "1m"), schema=a.get("schema"))
+        if n.name == "redis":
+            # meta:366 logstash-input-redis, data_type=list drain
+            from logstash_spark.sources.batch_inputs import redis_source_batch
+
+            if a.get("data_type", "list") != "list":
+                raise SyntaxError(
+                    "LSCL: redis data_type=channel is pub/sub — a stream; "
+                    "use the tcp bridging recipe (tests/test_bridges.py)")
+            return redis_source_batch(
+                spark, a.get("host", "127.0.0.1"), int(a.get("port", 6379)),
+                a["key"], batch_size=int(a.get("batch_count", 10000)),
+                codec=a.get("codec", "line"), schema=a.get("schema"))
         if n.name == "stdin":
             if stdin_df is None:
                 raise SyntaxError(

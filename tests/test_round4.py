@@ -596,6 +596,155 @@ class TestDlqRetention:
         assert res["removed"] == [] and res["kept_files"] == 1
 
 
+# ---------------------------------------------------------------------------
+# round 4: batch inputs — s3 / elasticsearch / redis (VERDICT r3 missing #4)
+# ---------------------------------------------------------------------------
+
+class TestBatchInputs:
+    def test_s3_plumbing_over_file_scheme(self, spark, tmp_path):
+        """Everything but the s3a jar: prefix listing, line + json_lines +
+        gzip codecs through the identical code path."""
+        import gzip
+
+        from logstash_spark.sources.batch_inputs import s3_source
+
+        d = tmp_path / "bucket" / "logs"
+        d.mkdir(parents=True)
+        (d / "a.log").write_text("one\ntwo\n")
+        with gzip.open(d / "b.log.gz", "wt") as f:
+            f.write("three\n")                     # reference handles gzip
+        out = s3_source(spark, str(tmp_path / "bucket"), "logs/",
+                        codec="line", scheme="file")
+        assert {r.message for r in out.collect()} == {"one", "two", "three"}
+
+        (d / "c.jsonl").write_text('{"k": 1}\n{"k": 2}\n')
+        js = s3_source(spark, str(tmp_path / "bucket"), "logs/*.jsonl",
+                       codec="json_lines", scheme="file")
+        assert sorted(r.k for r in js.collect()) == [1, 2]
+
+    def test_s3a_jar_gate_hint(self, spark):
+        from logstash_spark.sources.batch_inputs import s3_source
+
+        with pytest.raises(NotImplementedError, match="hadoop-aws"):
+            s3_source(spark, "some-bucket", "p/")
+
+    def test_elasticsearch_scroll_pager(self, spark):
+        """Live fake ES: _search?scroll then /_search/scroll pages, empty
+        page terminates, scroll cleaned up."""
+        import http.server
+        import threading
+
+        calls = []
+
+        class FakeES(http.server.BaseHTTPRequestHandler):
+            def _respond(self, obj):
+                body = __import__("json").dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                calls.append(self.path)
+                if self.path.startswith("/idx/_search"):
+                    self._respond({"_scroll_id": "s1", "hits": {"hits": [
+                        {"_id": "1", "_index": "idx", "_source": {"v": 10}},
+                        {"_id": "2", "_index": "idx", "_source": {"v": 20}},
+                    ]}})
+                elif len([c for c in calls if c == "/_search/scroll"]) == 1:
+                    self._respond({"_scroll_id": "s1", "hits": {"hits": [
+                        {"_id": "3", "_index": "idx", "_source": {"v": 30}},
+                    ]}})
+                else:
+                    self._respond({"_scroll_id": "s1", "hits": {"hits": []}})
+
+            def do_DELETE(self):
+                if self.headers.get("Content-Length"):
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                calls.append("DELETE")
+                self._respond({"succeeded": True})
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), FakeES)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from logstash_spark.sources.batch_inputs import \
+                elasticsearch_source
+
+            out = elasticsearch_source(
+                spark, f"127.0.0.1:{srv.server_address[1]}", "idx",
+                query={"match_all": {}}, size=2,
+                schema="v int")
+            rows = sorted(out.collect(), key=lambda r: r._id)
+            assert [r._id for r in rows] == ["1", "2", "3"]
+            assert [r.doc.v for r in rows] == [10, 20, 30]
+            assert "DELETE" in calls                 # scroll cleanup
+        finally:
+            srv.shutdown()
+
+    def test_redis_list_drain(self, spark):
+        """Live fake RESP2 server: LPOP with count drains in batches."""
+        import socket
+        import threading
+
+        items = [f'{{"n": {i}}}' for i in range(7)]
+
+        def serve(srv):
+            conn, _ = srv.accept()
+            f = conn.makefile("rb")
+            while True:
+                line = f.readline()
+                if not line:
+                    return
+                nargs = int(line[1:-2])
+                args = []
+                for _ in range(nargs):
+                    ln = int(f.readline()[1:-2])
+                    args.append(f.read(ln + 2)[:-2].decode())
+                assert args[0] == "LPOP" and args[1] == "q"
+                n = int(args[2])
+                # emulate LPOP <key> <count> semantics
+                out = []
+                while items and len(out) < n:
+                    out.append(items.pop(0))
+                if not out:
+                    conn.sendall(b"*-1\r\n")
+                else:
+                    resp = [f"*{len(out)}\r\n".encode()]
+                    for it in out:
+                        b = it.encode()
+                        resp.append(b"$%d\r\n%s\r\n" % (len(b), b))
+                    conn.sendall(b"".join(resp))
+
+        srv = socket.create_server(("127.0.0.1", 0))
+        threading.Thread(target=serve, args=(srv,), daemon=True).start()
+        from logstash_spark.sources.batch_inputs import redis_source_batch
+
+        out = redis_source_batch(
+            spark, "127.0.0.1", srv.getsockname()[1], "q",
+            batch_size=3, codec="json_lines", schema="n int")
+        assert sorted(r.doc.n for r in out.collect()) == list(range(7))
+
+    def test_lscl_s3_and_redis_inputs(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        d = tmp_path / "b" / "pfx"
+        d.mkdir(parents=True)
+        (d / "x.log").write_text("num=1\nnum=2\n")
+        cfg = f"""
+        input {{ s3 {{ bucket => "{tmp_path}/b" prefix => "pfx/"
+                       codec => "line" scheme => "file" }} }}
+        filter {{ grok {{ match => {{ "message" => "num=%{{INT:num:int}}" }} }} }}
+        output {{ null {{}} }}
+        """
+        out = compile_lscl_job(cfg).run(spark)
+        assert sorted(r.num for r in out.collect()) == [1, 2]
+
+
 def test_chunking_strips_all_whitespace_kinds(spark):
     from logstash_spark.datahub.chunking import chunk_documents
 
