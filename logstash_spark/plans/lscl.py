@@ -919,7 +919,7 @@ _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline",
                                "s3", "elasticsearch", "redis"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
-                                "tcp", "pipeline", "iceberg"})
+                                "tcp", "pipeline", "iceberg", "s3", "http"})
 
 
 class PipelineBus:
@@ -1168,6 +1168,28 @@ class LsclJob:
 
             tcp_sink(strip_metadata(df), a["host"], a["port"],
                      message_col=a.get("message_field"))
+            return
+        if n.name == "s3":
+            # logstash-output-s3: distributed write replaces temp-file
+            # rotation (time_file/size_file have no analog — see s3_sink)
+            from logstash_spark.sources.connectors import s3_sink
+
+            s3_sink(df, a["bucket"], a.get("prefix", ""),
+                    codec=a.get("codec", "json_lines"),
+                    scheme=a.get("scheme", "s3a"),
+                    compression="gzip" if a.get("encoding") == "gzip" else None,
+                    message_col=a.get("message_field"))
+            return
+        if n.name == "http":
+            # logstash-output-http: json/json_batch/ndjson executor POSTs
+            from logstash_spark.functions.decorators import strip_metadata
+            from logstash_spark.sources.connectors import http_sink
+
+            http_sink(strip_metadata(df), a["url"],
+                      format=a.get("format", "json_batch"),
+                      batch_size=int(a.get("batch_size", 50)),
+                      content_type=a.get("content_type"),
+                      retries=int(a.get("automatic_retries", 2)))
             return
         if n.name == "iceberg":
             # jar-gated: the north rule's table format — exactly-once MERGE

@@ -204,6 +204,113 @@ def elasticsearch_sink(df: DataFrame, index: str, id_col: str,
     raise ValueError("elasticsearch_sink needs path= or nodes=")
 
 
+def s3_sink(df: DataFrame, bucket: str, prefix: str,
+            codec: str = "json_lines", scheme: str = "s3a",
+            compression: str | None = None,
+            message_col: str | None = None,
+            mode: str = "overwrite") -> None:
+    """s3 output analog (plugins-metadata.json logstash-output-s3).
+
+    The reference batches events into local temp files and uploads on
+    time/size rotation (time_file/size_file) because it's a single-process
+    writer; Spark's distributed write IS that batching — every partition
+    uploads its own object in parallel and file sizing is partition
+    sizing, so the rotation knobs have no analog.  codec line writes
+    ``message_col`` (default `message`) as text; json_lines/csv/parquet
+    write the full row.  ``compression='gzip'`` matches the reference's
+    encoding=gzip.  Jar-gated on the s3a filesystem (same hint as
+    s3_source); ``scheme='file'`` runs the identical write locally.
+    """
+    from logstash_spark.functions.decorators import strip_metadata
+    from logstash_spark.sources.batch_inputs import _S3_HINT, s3a_available
+
+    if scheme == "s3a" and not s3a_available(df.sparkSession):
+        raise NotImplementedError(_S3_HINT)
+    path = f"{scheme}://{bucket}/{prefix}" if scheme != "file" else \
+        f"{bucket}/{prefix}"
+    clean = strip_metadata(df)
+    w = clean.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if codec in ("line", "plain"):
+        col = message_col or "message"
+        clean.select(F.col(col).cast("string").alias("value")) \
+            .write.mode(mode) \
+            .option("compression", compression or "none").text(path)
+    elif codec == "json_lines":
+        w.json(path)
+    elif codec == "csv":
+        w.option("header", "true").csv(path)
+    elif codec == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported s3 sink codec {codec!r}")
+
+
+def http_sink(df: DataFrame, url: str, format: str = "json_batch",
+              batch_size: int = 50, content_type: str | None = None,
+              retries: int = 2, headers: dict | None = None) -> int:
+    """http output analog (logstash-output-http): executor-side POSTs.
+
+    Mirrors the reference's formats — ``json`` (one event per request),
+    ``json_batch`` (array of up to ``batch_size`` events per request, the
+    reference's bulk shape), ``ndjson`` (newline-delimited batch).  Each
+    partition posts its own rows (no driver collect); connection count =
+    partition count, so coalesce upstream for a single small receiver.
+    Failed requests retry ``retries`` times with doubling backoff (the
+    reference's automatic_retries), then raise — the task retry is the
+    at-least-once story, same as the reference's retry policy.  Returns
+    rows sent.  For streaming, call per micro-batch inside foreachBatch.
+    """
+    if format not in ("json", "json_batch", "ndjson"):
+        raise ValueError(f"unsupported http sink format {format!r}")
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+    ctype = content_type or "application/json"
+    hdrs = dict(headers or {})
+
+    def post_partition(rows):
+        import time as _time
+        import urllib.request as _rq
+
+        def post(body: bytes) -> None:
+            req = _rq.Request(url, data=body, method="POST",
+                              headers={"Content-Type": ctype, **hdrs})
+            for attempt in range(retries + 1):
+                try:
+                    with _rq.urlopen(req, timeout=30):
+                        return
+                except Exception:  # noqa: BLE001 — retry any transport error
+                    if attempt == retries:
+                        raise
+                    _time.sleep(0.2 * (2 ** attempt))
+
+        sent, batch = 0, []
+
+        def flush():
+            nonlocal sent, batch
+            if not batch:
+                return
+            if format == "json_batch":
+                post(("[" + ",".join(batch) + "]").encode())
+            else:
+                post("\n".join(batch).encode())
+            sent += len(batch)
+            batch = []
+
+        for row in rows:
+            if format == "json":
+                post(row.j.encode())
+                sent += 1
+            else:
+                batch.append(row.j)
+                if len(batch) >= batch_size:
+                    flush()
+        flush()
+        yield sent
+
+    return sum(payload.rdd.mapPartitions(post_partition).collect())
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                checkpoint: str, key_col: str | None = None):
     """kafka output analog: rows serialized as JSON to `value`, started as a

@@ -757,3 +757,138 @@ def test_chunking_strips_all_whitespace_kinds(spark):
     assert rows[1].chunk_text == "hello world foo"
     assert rows[2].n_chunk_tokens == 1
     assert 3 not in rows                       # all-whitespace doc -> 0 chunks
+
+
+# ---------------------------------------------------------------------------
+# round 4: s3 / http outputs (symmetric with the batch inputs)
+# ---------------------------------------------------------------------------
+
+class TestOutputSinks:
+    def test_s3_sink_roundtrip_file_scheme(self, spark, tmp_path):
+        """json_lines + gzip-line writes over file://, read back by
+        s3_source through the identical plumbing."""
+        from logstash_spark.sources.batch_inputs import s3_source
+        from logstash_spark.sources.connectors import s3_sink
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "message string, n int")
+        s3_sink(df, str(tmp_path), "out_json/", codec="json_lines",
+                scheme="file")
+        back = s3_source(spark, str(tmp_path), "out_json/*.json",
+                         codec="json_lines", scheme="file")
+        assert sorted((r.message, r.n) for r in back.collect()) == \
+            [("a", 1), ("b", 2)]
+
+        s3_sink(df, str(tmp_path), "out_gz/", codec="line", scheme="file",
+                compression="gzip")
+        import glob
+        import gzip
+
+        files = glob.glob(str(tmp_path / "out_gz" / "*.txt.gz"))
+        assert files, "expected gzip parts"
+        lines = []
+        for fn in files:
+            with gzip.open(fn, "rt") as f:
+                lines += f.read().splitlines()
+        assert sorted(lines) == ["a", "b"]
+
+    def test_s3_sink_jar_gate_hint(self, spark):
+        from logstash_spark.sources.connectors import s3_sink
+
+        df = spark.createDataFrame([("x",)], "message string")
+        with pytest.raises(NotImplementedError, match="hadoop-aws"):
+            s3_sink(df, "bucket", "p/")
+
+    @staticmethod
+    def _http_receiver(fail_first: int = 0):
+        """Live HTTP server capturing POST bodies; optionally 503s the
+        first `fail_first` requests (retry path)."""
+        import http.server
+        import threading
+
+        state = {"bodies": [], "fails": fail_first}
+
+        class Recv(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)))
+                if state["fails"] > 0:
+                    state["fails"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                state["bodies"].append(body.decode())
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Recv)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, state
+
+    def test_http_sink_json_batch_and_retry(self, spark):
+        import json
+
+        from logstash_spark.sources.connectors import http_sink
+
+        srv, state = self._http_receiver(fail_first=1)
+        try:
+            df = spark.createDataFrame(
+                [(i, f"m{i}") for i in range(7)],
+                "n int, message string").coalesce(1)
+            sent = http_sink(
+                df, f"http://127.0.0.1:{srv.server_address[1]}/ingest",
+                format="json_batch", batch_size=3)
+            assert sent == 7
+            # 503 on the first request was retried: all 7 events arrive
+            events = [e for b in state["bodies"] for e in json.loads(b)]
+            assert sorted(e["n"] for e in events) == list(range(7))
+            assert max(len(json.loads(b)) for b in state["bodies"]) <= 3
+        finally:
+            srv.shutdown()
+
+    def test_http_sink_ndjson(self, spark):
+        import json
+
+        from logstash_spark.sources.connectors import http_sink
+
+        srv, state = self._http_receiver()
+        try:
+            df = spark.createDataFrame([(1,), (2,)], "n int").coalesce(1)
+            sent = http_sink(
+                df, f"http://127.0.0.1:{srv.server_address[1]}/",
+                format="ndjson", batch_size=10)
+            assert sent == 2
+            lines = [json.loads(ln) for b in state["bodies"]
+                     for ln in b.splitlines()]
+            assert sorted(e["n"] for e in lines) == [1, 2]
+        finally:
+            srv.shutdown()
+
+    def test_lscl_s3_and_http_outputs(self, spark, tmp_path):
+        import json
+
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        srv, state = self._http_receiver()
+        try:
+            cfg = f"""
+            input {{ generator {{ count => 3 message => "hi" }} }}
+            output {{
+              s3 {{ bucket => "{tmp_path}" prefix => "lscl_out/"
+                    codec => "json_lines" scheme => "file" }}
+              http {{ url => "http://127.0.0.1:{srv.server_address[1]}/x"
+                      format => "json_batch" }}
+            }}
+            """
+            compile_lscl_job(cfg).run(spark)
+            back = spark.read.json(str(tmp_path / "lscl_out"))
+            assert back.count() == 3
+            events = [e for b in state["bodies"] for e in json.loads(b)]
+            assert len(events) == 3 and all(
+                e["message"] == "hi" for e in events)
+        finally:
+            srv.shutdown()
