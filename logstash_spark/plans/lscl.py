@@ -1362,7 +1362,19 @@ class LsclJob:
             else:
                 raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
             return
-        self._one_output(df, n)  # stdout/null/es/tcp: batch writers apply
+        if n.name == "s3":
+            # append per micro-batch (the batch path's overwrite would
+            # clobber earlier batches, same as the file output)
+            from logstash_spark.sources.connectors import s3_sink
+
+            a = n.attrs
+            s3_sink(df, a["bucket"], a.get("prefix", ""),
+                    codec=a.get("codec", "json_lines"),
+                    scheme=a.get("scheme", "s3a"),
+                    compression="gzip" if a.get("encoding") == "gzip" else None,
+                    message_col=a.get("message_field"), mode="append")
+            return
+        self._one_output(df, n)  # stdout/null/es/tcp/http: batch writers apply
 
 
 def _file_multiline(spark, paths: list[str], a: dict) -> DataFrame:

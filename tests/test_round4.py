@@ -892,3 +892,28 @@ class TestOutputSinks:
                 e["message"] == "hi" for e in events)
         finally:
             srv.shutdown()
+
+
+def test_run_stream_s3_appends_across_micro_batches(spark, tmp_path):
+    """Streaming s3 output must APPEND per micro-batch (the batch path's
+    overwrite would keep only the newest batch).  Two drains against the
+    same checkpoint = two separate micro-batches hitting the sink."""
+    from logstash_spark.plans.lscl import compile_lscl_job
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha\n")
+    cfg = f"""
+    input {{ file {{ path => "{src}" codec => "line" }} }}
+    output {{ s3 {{ bucket => "{tmp_path}" prefix => "s3out/"
+                    codec => "json_lines" scheme => "file" }} }}
+    """
+    ck = str(tmp_path / "ck")
+    compile_lscl_job(cfg).run_stream(spark, checkpoint_dir=ck) \
+        .awaitTermination(120)
+    (src / "b.txt").write_text("beta\ngamma\n")      # arrives later
+    compile_lscl_job(cfg).run_stream(spark, checkpoint_dir=ck) \
+        .awaitTermination(120)
+    out = spark.read.json(str(tmp_path / "s3out"))
+    assert sorted(r.message for r in out.collect()) == \
+        ["alpha", "beta", "gamma"]
