@@ -63,11 +63,12 @@ def q_dedup_minhash(spark, sf_dir):
 def _minhash_pairs_ctes(n_hashes: int, band_size: int) -> str:
     """DuckDB CTE chain for the minhash+banding pipeline at any (n, r);
     exposes ``pairs(a, b)`` (requires SHINGLES_CTE upstream).  Mirrors
-    dedup.minhash_signatures exactly: 8 x 32-bit hex slices per salted
-    sha256 digest (salt = i//8, slice offset = (i%8)*8+1)."""
+    dedup.minhash_signatures exactly: 8 x 32-bit slices per salted
+    sha256 digest (salt = i//8, slice offset = (i%8)*8+1), each parsed
+    to BIGINT (hex-prefix cast == Spark's conv(slice,16,10))."""
     aggs = ",\n         ".join(
-        f"MIN(SUBSTRING(sha256(CONCAT('{i // 8}|', shingle)), "
-        f"{(i % 8) * 8 + 1}, 8)) AS h{i}" for i in range(n_hashes))
+        f"MIN(('0x' || SUBSTRING(sha256(CONCAT('{i // 8}|', shingle)), "
+        f"{(i % 8) * 8 + 1}, 8))::BIGINT) AS h{i}" for i in range(n_hashes))
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_id, md5(CONCAT({cols})) AS band_hash FROM sigs"
         .format(b=b, cols=", ".join(

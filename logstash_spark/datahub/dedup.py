@@ -95,9 +95,16 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
         id_col,
         *[F.sha2(F.concat(F.lit(f"{s}|"), F.col("shingle")), 256)
           .alias(f"__sha{s}") for s in range(n_digests)])
+    # conv the 8-hex-char slice to a BIGINT before the MIN: fixed-width
+    # (32-bit) slices compare identically as hex text or as integers, but
+    # an integer aggregation buffer lets Spark use HashAggregate — with
+    # string mins the buffer isn't fixed-width and the plan degrades to
+    # SortAggregate, which sorts the whole exploded shingle set per
+    # partition.  The DuckDB oracle mirrors with ('0x' || slice)::BIGINT.
     aggs = [
-        F.min(F.substring(F.col(f"__sha{i // _HASHES_PER_DIGEST}"),
-                          (i % _HASHES_PER_DIGEST) * 8 + 1, 8)).alias(f"h{i}")
+        F.min(F.conv(F.substring(F.col(f"__sha{i // _HASHES_PER_DIGEST}"),
+                                 (i % _HASHES_PER_DIGEST) * 8 + 1, 8),
+                     16, 10).cast("long")).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return pre.groupBy(id_col).agg(*aggs)
@@ -107,17 +114,28 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = N_MINHASH,
                         band_size: int = BAND_SIZE) -> DataFrame:
     """Band the signatures; docs sharing any band hash become a candidate
-    pair (a < b).  Shuffle key = (band_id, band_hash): bucket-local join."""
+    pair (a < b).  Shuffle key = (band_id, band_hash): bucket-local join.
+
+    Bands are one explode over an array of (band_id, band_hash) structs —
+    NOT a per-band union: a union re-evaluates the whole shingle->signature
+    subtree once per band per join side (8 corpus scans at n=16), while the
+    explode computes signatures once and makes the two self-join sides
+    structurally identical, so Spark's ReuseExchange shares the shuffle
+    under both.  At 100 TB the corpus scan is the dominant cost.
+    """
     n_bands = n_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        part = sigs.select(
-            F.col(id_col),
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("", *cols)).alias("band_hash"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+            F.md5(F.concat_ws("", *[
+                f"h{i}" for i in range(b * band_size, (b + 1) * band_size)
+            ])).alias("band_hash"))
+        for b in range(n_bands)
+    ]
+    bands = (sigs
+             .select(F.col(id_col), F.explode(F.array(*band_structs))
+                     .alias("__band"))
+             .select(id_col, "__band.band_id", "__band.band_hash"))
     a = bands.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     b_ = bands.select(F.col(id_col).alias("b"), "band_id", "band_hash")
     return (
@@ -132,7 +150,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       n_hashes: int = N_MINHASH,
                       band_size: int = BAND_SIZE,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      cache_signatures: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup candidate pipeline.
 
     Recall is the banding curve P(candidate) = 1 - (1 - s^r)^b for Jaccard
@@ -149,6 +168,15 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     # shingle rows — the largest intermediate in the whole pipeline)
     sh = word_shingles(df, text_col, id_col, n=shingle_n, distinct=False)
     sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes)
+    if cache_signatures:
+        # one row per doc (16 bigints): the self-join would otherwise
+        # evaluate the whole scan->shingle->signature subtree once per
+        # side (measured 3.6s -> 0.5s on the sf0.1 pairs stage).  At
+        # corpus scale persist MEMORY_AND_DISK holds ~136 bytes/doc
+        # cluster-wide — or materialize to a temp table instead.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     return lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
                                band_size=band_size)
 
