@@ -87,12 +87,28 @@ def bench_batch(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     for name in names:
         if name not in qs:
             continue
+        # r4 postmortem: several fixed-3 triples never reached steady
+        # state (session_window 10.4/4.9/2.8 still descending,
+        # fingerprint ascending under leaked-cache memory pressure) and
+        # read as fake regressions on unchanged code.  Apply the same
+        # adaptive rule bench_north_star uses — sample 3-6 runs until the
+        # best two agree within 10% — and clear any cache/state a prior
+        # query left behind so queries are measured in isolation.
+        spark.catalog.clearCache()
         times = []
-        for _ in range(3):
-            df = qs[name](spark, sf_dir)
+        while len(times) < 6:
+            # construction is INSIDE the timed window: operators that
+            # materialize eagerly (minhash_lsh_dedup's checkpointed
+            # candidate pairs) do their real work at build time, and
+            # timing only _force would under-report them
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             _force(df)
             times.append(round(time.perf_counter() - t0, 3))
+            if len(times) >= 3:
+                best, second = sorted(times)[:2]
+                if second <= best * 1.10:
+                    break
         runs[name] = times
         out[name] = min(times)
     out["__runs__"] = runs  # popped by main()

@@ -71,7 +71,7 @@ def _minhash_pairs_ctes(n_hashes: int, band_size: int) -> str:
         f"{(i % 8) * 8 + 1}, 8))::BIGINT) AS h{i}" for i in range(n_hashes))
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_id, md5(CONCAT({cols})) AS band_hash FROM sigs"
-        .format(b=b, cols=", ".join(
+        .format(b=b, cols=", '|', ".join(
             f"h{i}" for i in range(b * band_size, (b + 1) * band_size)))
         for b in range(n_hashes // band_size))
     return f"""

@@ -127,7 +127,10 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("", *[
+            # '|' separator keeps the hash injective over signature
+            # tuples: separator-free concat of variable-width decimal
+            # strings collides, e.g. (1, 23) and (12, 3) both -> '123'.
+            F.md5(F.concat_ws("|", *[
                 f"h{i}" for i in range(b * band_size, (b + 1) * band_size)
             ])).alias("band_hash"))
         for b in range(n_bands)
@@ -168,17 +171,33 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     # shingle rows — the largest intermediate in the whole pipeline)
     sh = word_shingles(df, text_col, id_col, n=shingle_n, distinct=False)
     sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes)
-    if cache_signatures:
-        # one row per doc (16 bigints): the self-join would otherwise
-        # evaluate the whole scan->shingle->signature subtree once per
-        # side (measured 3.6s -> 0.5s on the sf0.1 pairs stage).  At
-        # corpus scale persist MEMORY_AND_DISK holds ~136 bytes/doc
-        # cluster-wide — or materialize to a temp table instead.
-        from pyspark import StorageLevel
+    if not cache_signatures:
+        return lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
+                                   band_size=band_size)
+    # One row per doc (16 bigints): the self-join would otherwise
+    # evaluate the whole scan->shingle->signature subtree once per side
+    # (measured 3.6s -> 0.5s on the sf0.1 pairs stage; ReuseExchange does
+    # not fire across the aliased join sides).  The persist is scoped to
+    # THIS call: the candidate pairs are materialized eagerly while the
+    # signature cache is hot, then the cache is dropped before returning.
+    # The pairs themselves live as RDD-level localCheckpoint blocks,
+    # which the ContextCleaner releases automatically once the caller
+    # drops the returned DataFrame — unlike DataFrame.persist, whose
+    # CacheManager entry is held forever until an explicit unpersist.
+    # (The previous version leaked one signature cache per invocation:
+    # ~136 bytes/doc cluster-wide, held until the session died.)
+    from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    return lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
-                               band_size=band_size)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pairs = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
+                                    band_size=band_size)
+        # eager=True runs the job now, truncating lineage so the result
+        # no longer references the (about to be dropped) signature cache.
+        pairs = pairs.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist(blocking=True)
+    return pairs
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

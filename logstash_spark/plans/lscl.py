@@ -939,10 +939,15 @@ class PipelineBus:
     bus, matching the reference's per-agent registry)."""
 
     def __init__(self):
-        self._addresses: dict[str, DataFrame] = {}
+        # address -> {sender key -> DataFrame}: multiple pipelines can
+        # fan into one address (PipelineBus.java keeps a sender SET per
+        # address and the listener drains them all); keying by sender
+        # keeps re-sends from the SAME pipeline idempotent (a reload
+        # replaces its own registration) while distinct senders union.
+        self._addresses: dict[str, dict[object, DataFrame]] = {}
 
-    def send(self, address: str, df: DataFrame) -> None:
-        self._addresses[address] = df
+    def send(self, address: str, df: DataFrame, sender: object = None) -> None:
+        self._addresses.setdefault(address, {})[sender] = df
 
     def listen(self, address: str) -> DataFrame:
         if address not in self._addresses:
@@ -950,7 +955,13 @@ class PipelineBus:
                 f"LSCL: pipeline input address {address!r} has no upstream — "
                 f"run the sending job first (registered: "
                 f"{sorted(self._addresses) or 'none'})")
-        return self._addresses[address]
+        dfs = list(self._addresses[address].values())
+        out = dfs[0]
+        for d in dfs[1:]:
+            # schemas may differ between sending pipelines; the reference
+            # event model treats absent fields as null
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
 
 _DEFAULT_BUS = PipelineBus()
@@ -1055,8 +1066,7 @@ class LsclJob:
             if isinstance(query, str):
                 query = _json.loads(query)
             return elasticsearch_source(
-                spark, a["hosts"] if not isinstance(a.get("hosts"), list)
-                else a["hosts"][0],
+                spark, a.get("hosts"),
                 a.get("index", "logstash-*"), query=query,
                 size=int(a.get("size", 1000)),
                 scroll=a.get("scroll", "1m"), schema=a.get("schema"))
@@ -1133,7 +1143,7 @@ class LsclJob:
             if not isinstance(addrs, list):
                 addrs = [addrs]
             for addr in addrs:
-                self.bus.send(addr, df)
+                self.bus.send(addr, df, sender=id(self))
             return
         if n.name == "file":
             from logstash_spark.functions.decorators import strip_metadata
@@ -1318,7 +1328,7 @@ class LsclJob:
 
         def deliver(batch_df, batch_id):
             for n in self.outputs:
-                self._one_output_batch(batch_df, n)
+                self._one_output_batch(batch_df, n, epoch_id=batch_id)
 
         w = (out.writeStream.outputMode("append")
              .option("checkpointLocation", checkpoint_dir)
@@ -1329,18 +1339,22 @@ class LsclJob:
             w = w.trigger(processingTime=trigger_interval)
         return w.start()
 
-    def _one_output_batch(self, df: DataFrame, n) -> None:
+    def _one_output_batch(self, df: DataFrame, n,
+                          epoch_id: int | None = None) -> None:
         """Per-micro-batch output delivery: file appends, others reuse the
-        batch writers (the micro-batch frame IS a batch DataFrame)."""
+        batch writers (the micro-batch frame IS a batch DataFrame).
+        ``epoch_id`` is the foreachBatch batch id, used by sinks that can
+        make a retried epoch idempotent (s3)."""
         if isinstance(n, IfNode):
             remaining = df
             for expr, body in n.branches:
                 pred = compile_expr(expr, df)
                 for inner in body:
-                    self._one_output_batch(remaining.filter(pred), inner)
+                    self._one_output_batch(remaining.filter(pred), inner,
+                                           epoch_id=epoch_id)
                 remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))
             for inner in (n.else_nodes or []):
-                self._one_output_batch(remaining, inner)
+                self._one_output_batch(remaining, inner, epoch_id=epoch_id)
             return
         if n.name == "file":
             from logstash_spark.functions.decorators import strip_metadata
@@ -1363,16 +1377,26 @@ class LsclJob:
                 raise SyntaxError(f"LSCL: unsupported file output codec {codec!r}")
             return
         if n.name == "s3":
-            # append per micro-batch (the batch path's overwrite would
-            # clobber earlier batches, same as the file output)
+            # One directory per epoch, written with overwrite: a retried
+            # foreachBatch epoch (driver restart mid-commit) rewrites its
+            # OWN epoch_id=N directory instead of appending duplicate
+            # objects — epoch-idempotent, so the sink is exactly-once for
+            # readers that list the whole prefix (same contract as
+            # sinks/exactly_once.py's batch_id layout).  Earlier batches
+            # live in sibling directories and are never clobbered.
             from logstash_spark.sources.connectors import s3_sink
 
             a = n.attrs
-            s3_sink(df, a["bucket"], a.get("prefix", ""),
+            prefix = a.get("prefix", "")
+            if epoch_id is not None:
+                prefix = f"{prefix.rstrip('/')}/epoch_id={epoch_id}" \
+                    if prefix else f"epoch_id={epoch_id}"
+            s3_sink(df, a["bucket"], prefix,
                     codec=a.get("codec", "json_lines"),
                     scheme=a.get("scheme", "s3a"),
                     compression="gzip" if a.get("encoding") == "gzip" else None,
-                    message_col=a.get("message_field"), mode="append")
+                    message_col=a.get("message_field"),
+                    mode="overwrite" if epoch_id is not None else "append")
             return
         self._one_output(df, n)  # stdout/null/es/tcp/http: batch writers apply
 

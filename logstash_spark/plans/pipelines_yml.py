@@ -187,11 +187,16 @@ class PipelineSet:
                 upstream_addrs = set().union(
                     *(sends[q] for q in self.specs if q != pid)) \
                     if len(self.specs) > 1 else set()
-                # ready when every listened address is already produced by a
-                # placed pipeline (or by no pipeline at all — pre-registered
-                # on the bus by the caller)
+                # ready when EVERY pipeline that sends to a listened
+                # address is already placed (an address no pipeline sends
+                # to is pre-registered on the bus by the caller).  With
+                # two senders fanning into one address, "any producer
+                # placed" would let the listener run before the second
+                # sender registered, silently dropping its rows.
                 needed = {a for a in listens[pid] if a in upstream_addrs}
-                if all(any(a in sends[q] for q in placed) for a in needed):
+                if all(q in placed
+                       for a in needed
+                       for q in self.specs if q != pid and a in sends[q]):
                     order.append(pid)
                     placed.add(pid)
                     remaining.remove(pid)

@@ -102,28 +102,47 @@ def _http_json(url: str, body: dict | None = None, method: str = "GET"):
         return json.loads(resp.read())
 
 
-def elasticsearch_source(spark: SparkSession, hosts: str, index: str,
+#: Default cap on the stdlib scroll fallback — it accumulates hits in a
+#: driver-side list, so an uncapped pull of a large index is an OOM.  The
+#: es-hadoop path (per-shard parallel scan) has no such cap.
+ES_FALLBACK_MAX_DOCS = 100_000
+
+
+def elasticsearch_source(spark: SparkSession, hosts, index: str,
                          query: dict | None = None, size: int = 1000,
                          scroll: str = "1m", schema=None,
-                         max_docs: int | None = None) -> DataFrame:
+                         max_docs: int | None = ES_FALLBACK_MAX_DOCS
+                         ) -> DataFrame:
     """logstash-input-elasticsearch analog (meta:269: query + scroll +
-    size options).
+    size options).  ``hosts`` is a host string or list of hosts.
 
     With es-hadoop on the classpath: the real datasource (per-shard
-    parallel scan).  Otherwise: stdlib ``_search?scroll`` paging on the
-    driver — each page is ``size`` docs; ``max_docs`` bounds the pull.
+    parallel scan over every node in ``hosts``).  Otherwise: stdlib
+    ``_search?scroll`` paging on the driver — each page is ``size`` docs,
+    only the first host is paged, and ``max_docs`` bounds the pull
+    (default 100k; a driver-side list is NOT the 100-TB path — install
+    es-hadoop for that).  Pass ``max_docs=None`` to explicitly uncap.
     Returns one row per hit: (_id string, _index string, _source string
     json) — pipe ``_source`` through the json filter for typed columns
     (``schema`` applies from_json here when given).
     """
+    host_list = hosts if isinstance(hosts, list) else [hosts]
     if es_hadoop_available(spark):
         r = (spark.read.format("org.elasticsearch.spark.sql")
-             .option("es.nodes", hosts)
+             .option("es.nodes", ",".join(host_list))
              .option("es.resource", index))
         if query:
             r = r.option("es.query", json.dumps(query))
         return r.load()
 
+    if len(host_list) > 1:
+        import warnings
+
+        warnings.warn(
+            "elasticsearch_source: stdlib scroll fallback pages one host; "
+            f"using {host_list[0]!r}, ignoring {host_list[1:]} (es-hadoop "
+            "on the classpath uses the full node list)", stacklevel=2)
+    hosts = host_list[0]
     base = hosts if hosts.startswith("http") else f"http://{hosts}"
     body = {"size": size, "query": query or {"match_all": {}}}
     page = _http_json(f"{base}/{index}/_search?scroll={scroll}", body, "POST")
@@ -136,6 +155,13 @@ def elasticsearch_source(spark: SparkSession, hosts: str, index: str,
             rows.append((h.get("_id"), h.get("_index"),
                          json.dumps(h.get("_source", {}))))
             if max_docs is not None and len(rows) >= max_docs:
+                import warnings
+
+                warnings.warn(
+                    f"elasticsearch_source: stopped at max_docs={max_docs}; "
+                    "results may be truncated — pass max_docs=None to "
+                    "uncap (driver memory!) or install es-hadoop for a "
+                    "distributed scan", stacklevel=2)
                 hits = []
                 break
         if not hits or scroll_id is None:

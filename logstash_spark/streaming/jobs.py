@@ -263,6 +263,10 @@ class NorthStarHandle:
     def lastProgress(self):
         return self.queries[-1].lastProgress
 
+    @property
+    def isActive(self):
+        return any(q.isActive for q in self.queries)
+
 
 def dedup_stream(df: DataFrame, keys: list[str] | None = None,
                  watermark: str = "1 hour") -> DataFrame:
