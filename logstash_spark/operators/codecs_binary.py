@@ -708,3 +708,175 @@ def edn_decode(df: DataFrame, source: str, schema: str,
          .otherwise(F.array_remove(F.col("tags"), "_jsonparsefailure")))
     out = add_tag(out, "_ednparsefailure", when=failed)
     return out.drop("__edn_json", "__had_jpf")
+
+
+# ---------------------------------------------------------------------------
+# encode side: msgpack + fluent (the codec contract is bidirectional —
+# logstash-core/lib/logstash/codecs/base.rb:38-86 declares both decode and
+# encode; these are the two binary codecs used output-side in practice)
+# ---------------------------------------------------------------------------
+
+def _mp_encode(v, depth: int = 0) -> bytes:
+    """Encode one Python value to msgpack bytes (msgpack.org spec).
+
+    The exact inverse of :func:`_mp_decode` over the JSON-able domain:
+    None/bool, int (fixint/uint8-64/int8-32), float (float64), str
+    (fixstr/str8-32), bytes (bin8-32), list (fixarray/array16-32), dict
+    (fixmap/map16-32).  Smallest-width encodings throughout, so
+    decode(encode(x)) == x and encode(decode(b)) == b for canonical b.
+    """
+    if depth > _MP_MAX_DEPTH:
+        raise MsgpackError("nesting too deep")
+    if v is None:
+        return b"\xc0"
+    if isinstance(v, bool):
+        return b"\xc3" if v else b"\xc2"
+    if isinstance(v, int):
+        if 0 <= v <= 0x7F:
+            return bytes([v])
+        if -32 <= v < 0:
+            return bytes([v & 0xFF])
+        if v >= 0:
+            for fmt, code, lim in ((">B", 0xCC, 1 << 8), (">H", 0xCD, 1 << 16),
+                                   (">I", 0xCE, 1 << 32), (">Q", 0xCF, 1 << 64)):
+                if v < lim:
+                    return bytes([code]) + struct.pack(fmt, v)
+            raise MsgpackError(f"int too large: {v}")
+        for fmt, code, lim in ((">b", 0xD0, 1 << 7), (">h", 0xD1, 1 << 15),
+                               (">i", 0xD2, 1 << 31), (">q", 0xD3, 1 << 63)):
+            if -v <= lim:
+                return bytes([code]) + struct.pack(fmt, v)
+        raise MsgpackError(f"int too small: {v}")
+    if isinstance(v, float):
+        return b"\xcb" + struct.pack(">d", v)
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        n = len(b)
+        if n <= 31:
+            return bytes([0xA0 | n]) + b
+        if n < 1 << 8:
+            return b"\xd9" + bytes([n]) + b
+        if n < 1 << 16:
+            return b"\xda" + struct.pack(">H", n) + b
+        return b"\xdb" + struct.pack(">I", n) + b
+    if isinstance(v, (bytes, bytearray)):
+        b = bytes(v)
+        n = len(b)
+        if n < 1 << 8:
+            return b"\xc4" + bytes([n]) + b
+        if n < 1 << 16:
+            return b"\xc5" + struct.pack(">H", n) + b
+        return b"\xc6" + struct.pack(">I", n) + b
+    if isinstance(v, (list, tuple)):
+        n = len(v)
+        if n <= 15:
+            head = bytes([0x90 | n])
+        elif n < 1 << 16:
+            head = b"\xdc" + struct.pack(">H", n)
+        else:
+            head = b"\xdd" + struct.pack(">I", n)
+        return head + b"".join(_mp_encode(x, depth + 1) for x in v)
+    if isinstance(v, dict):
+        n = len(v)
+        if n <= 15:
+            head = bytes([0x80 | n])
+        elif n < 1 << 16:
+            head = b"\xde" + struct.pack(">H", n)
+        else:
+            head = b"\xdf" + struct.pack(">I", n)
+        return head + b"".join(
+            _mp_encode(k, depth + 1) + _mp_encode(x, depth + 1)
+            for k, x in v.items())
+    raise MsgpackError(f"unencodable type {type(v).__name__}")
+
+
+def _py_clean(v):
+    """numpy/pandas scalars -> plain Python (Arrow batches hand pandas
+    dtypes to the encoder; msgpack needs native types)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if v is pd.NaT:
+        return None
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return [_py_clean(x) for x in v]
+    if isinstance(v, (list, tuple)):
+        return [_py_clean(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_clean(x) for k, x in v.items()}
+    return v
+
+
+def msgpack_encode(df: DataFrame, columns: list[str] | None = None,
+                   target: str = "message") -> DataFrame:
+    """msgpack codec ENCODE (codecs/base.rb:66-86 contract): each row's
+    ``columns`` (default: all) become one msgpack map in binary column
+    ``target`` — the exact input :func:`msgpack_decode` accepts.
+
+    Arrow-batched ``mapInPandas``; only the encoded column is appended, the
+    event columns pass through untouched for downstream routing.
+    """
+    cols = columns if columns is not None else list(df.columns)
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def encode(batches):
+        for pdf in batches:
+            def one(row):
+                return _mp_encode(
+                    {c: _py_clean(row[c]) for c in cols})
+
+            yield pdf.assign(**{target: pdf.apply(one, axis=1)
+                                if len(pdf) else pdf.get(target, [])})
+
+    return df.mapInPandas(encode, carry_schema + f", {target} binary")
+
+
+def fluent_encode(df: DataFrame, tag, time_col: str,
+                  record_cols: list[str] | None = None,
+                  target: str = "message",
+                  time_as_integer: bool = True) -> DataFrame:
+    """fluent codec ENCODE: one forward-mode ``[tag, time, record]``
+    msgpack message per row — the exact input :func:`fluent_decode`
+    accepts.  ``tag`` is a literal string or (with ``F.col`` semantics) a
+    column name prefixed ``@`` (the reference codec's tag => option takes
+    either).  ``time_col`` must be epoch seconds (long) or timestamp;
+    ``time_as_integer=False`` emits the fluentd EventTime ext-0 form
+    (4-byte seconds + 4-byte nanos)."""
+    rec_cols = record_cols if record_cols is not None else [
+        c for c in df.columns if c != time_col]
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    tag_col = tag[1:] if isinstance(tag, str) and tag.startswith("@") else None
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            def one(row):
+                t = _py_clean(row[time_col])
+                if isinstance(t, str):          # isoformat timestamp
+                    t = int(pd.Timestamp(t).timestamp())
+                t = int(t)
+                tg = str(row[tag_col]) if tag_col else str(tag)
+                return (bytes([0x93])           # fixarray(3)
+                        + _mp_encode(tg)
+                        + (_mp_encode(t) if time_as_integer
+                           else b"\xd7\x00" + struct.pack(">II", t, 0))
+                        + _mp_encode(
+                            {c: _py_clean(row[c]) for c in rec_cols}))
+
+            yield pdf.assign(**{target: pdf.apply(one, axis=1)
+                                if len(pdf) else pdf.get(target, [])})
+
+    return df.mapInPandas(encode, carry_schema + f", {target} binary")

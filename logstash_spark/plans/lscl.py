@@ -349,16 +349,25 @@ def expand_env_value(v, env: dict):
 
 
 def _env_snapshot(context: dict | None) -> dict:
-    """Driver-side snapshot of the substitution sources: os.environ plus a
-    ``context['env']`` secret map (highest precedence — the reference
-    checks its secret store before the environment).  Snapshotting on the
-    driver is the cluster-safe shape (same as the environment filter):
-    expanded values become plain literals in the plan, so executors never
-    consult their own environments."""
+    """Driver-side snapshot of the substitution sources, lowest precedence
+    first: os.environ, then the reference-format keystore named by
+    ``context['keystore']`` (a path; secrets beat environment variables —
+    ConfigVariableExpander.java consults the secret store before the
+    environment), then an explicit ``context['env']`` map (a direct
+    caller override always wins).  Snapshotting on the driver is the
+    cluster-safe shape (same as the environment filter): expanded values
+    become plain literals in the plan, so executors never consult their
+    own environments or keystores."""
     import os
 
     env = dict(os.environ)
-    env.update((context or {}).get("env") or {})
+    ctx = context or {}
+    if ctx.get("keystore"):
+        from logstash_spark.plans.keystore import load_keystore
+
+        env.update(load_keystore(ctx["keystore"],
+                                 password=ctx.get("keystore_password")))
+    env.update(ctx.get("env") or {})
     return env
 
 
@@ -917,7 +926,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline",
-                               "s3", "elasticsearch", "redis"})
+                               "s3", "elasticsearch", "redis", "http"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
                                 "tcp", "pipeline", "iceberg", "s3", "http"})
 
@@ -985,6 +994,9 @@ class LsclJob:
         self.context = context or {}
         self.inputs = sections.get("input", [])
         self.outputs = sections.get("output", [])
+        # live HTTP listeners started by source_stream (http inputs);
+        # callers stop them after the query terminates
+        self.http_spools: list = []
         self.filter_nodes = sections.get("filter", [])
         self.pipeline = Pipeline(compile_items(sections.get("filter", []),
                                                self.context))
@@ -1020,6 +1032,11 @@ class LsclJob:
 
     def _one_source(self, spark, n: PluginNode, stdin_df) -> DataFrame:
         a = n.attrs
+        if n.name == "http":
+            raise SyntaxError(
+                "LSCL: http{} is a live webhook listener — a stream; run "
+                "this config with run_stream (batch has no arrival "
+                "semantics to replay)")
         if n.name == "pipeline":
             return self.bus.listen(a["address"])
         if n.name == "kafka":
@@ -1264,8 +1281,24 @@ class LsclJob:
                 raise SyntaxError(
                     "LSCL: generator{} is a bounded batch input; for a "
                     "streaming load source use spark.readStream.format('rate')")
-            else:
-                dfs.append(self._one_source(spark, n, stdin_df))
+            elif n.name == "http":
+                # logstash-input-http (meta:310): a real in-engine webhook
+                # source — the listener spools POSTs, the Python Data
+                # Source replays spool line-ranges as offsets.  Replaces
+                # the tcp-bridge recipe (tests/test_bridges.py, r4).
+                from logstash_spark.sources.http_input import (
+                    HttpEventSpool, http_webhook_stream)
+
+                if "spool_dir" not in a:
+                    raise SyntaxError(
+                        "LSCL: http input requires spool_dir => \"...\" — "
+                        "the durable spool is what makes the stream "
+                        "checkpoint/resumable")
+                spool = HttpEventSpool(
+                    a["spool_dir"], host=a.get("host", "127.0.0.1"),
+                    port=int(a.get("port", 0))).start()
+                self.http_spools.append(spool)
+                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
         if not dfs:
             raise SyntaxError("LSCL: config has no input section")
         out = dfs[0]

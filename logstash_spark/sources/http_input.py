@@ -1,0 +1,221 @@
+"""Native streaming HTTP webhook input (logstash-input-http analog).
+
+Reference contract: co/elastic/logstash/api/Input.java:46-62 — a push
+input starts a listener and pushes events to a consumer until stop();
+plugin surface rakelib/plugins-metadata.json:310 (logstash-input-http:
+HTTP(S) server, one event per request body, or one per line for ndjson).
+
+Spark-native shape (replaces the tcp-bridge recipe tests/test_bridges.py
+used through round 4): a driver-side stdlib HTTP listener appends every
+POST to a durable JSONL spool, and a Spark 4 Python Data Source
+(``SimpleDataSourceStreamReader``) exposes spool line-ranges as streaming
+offsets.  The spool is the persistent queue the reference puts in front
+of its inputs: offsets are replayable (``readBetweenOffsets``), so a
+checkpointed query resumes exactly where it stopped, and a retried
+micro-batch re-reads the same lines — no event is lost or double-read.
+
+The receive path is driver-side by design: a webhook endpoint is one
+listener socket no matter how many executors the cluster has (same as the
+reference: one input thread per pipeline).  The hot path — everything
+after the source — stays distributed; at 100-TB scale bulk history does
+not arrive via webhook POSTs, it arrives via the file/kafka/s3 sources,
+and this source carries the control-plane/event-notification traffic.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+#: Spool schema — mirrors the reference http input's event shape: the raw
+#: body as `message` plus request provenance (remote address, content
+#: type, arrival time).
+HTTP_INPUT_SCHEMA = ("message string, remote_addr string, "
+                     "content_type string, received_at timestamp")
+
+_SPOOL_FILE = "events.jsonl"
+
+
+class HttpEventSpool:
+    """The listener half: accept POSTs, append one JSON line per event.
+
+    One growing ``events.jsonl`` per spool dir; appends are serialized
+    under a lock and flushed per request, so a line is either fully
+    present or not yet written — the reader can safely treat line count
+    as the offset.  ndjson / json_lines bodies split into one event per
+    line (the reference http input's codec behavior); everything else is
+    one event per request.
+    """
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.path = os.path.join(spool_dir, _SPOOL_FILE)
+        self._lock = threading.Lock()
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          self._build_handler())
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def _append(self, lines: list[str], remote: str, ctype: str) -> None:
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        with self._lock, open(self.path, "a", encoding="utf-8") as f:
+            for ln in lines:
+                f.write(json.dumps({"message": ln, "remote_addr": remote,
+                                    "content_type": ctype,
+                                    "received_at": now}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _build_handler(self):
+        spool = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_POST(self):  # noqa: N802 (http.server API)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                ctype = self.headers.get("Content-Type", "text/plain")
+                if "ndjson" in ctype or "x-ldjson" in ctype:
+                    lines = [l for l in body.split("\n") if l.strip()]
+                else:
+                    lines = [body]
+                spool._append(lines, self.client_address[0], ctype)
+                resp = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def do_PUT(self):  # noqa: N802 — the reference accepts PUT too
+                self.do_POST()
+
+        return Handler
+
+    # Input.java:46-62 lifecycle: start / stop / awaitStop
+    def start(self) -> "HttpEventSpool":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="http-input", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def await_stop(self, timeout: float | None = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def __enter__(self) -> "HttpEventSpool":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def _read_lines(path: str, start: int, end: int | None = None) -> list[dict]:
+    """Spool lines [start, end) as dicts; end=None reads to EOF."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i < start:
+                continue
+            if end is not None and i >= end:
+                break
+            if line.endswith("\n"):  # ignore a torn final line
+                out.append(json.loads(line))
+            elif end is not None:
+                raise ValueError(
+                    f"http_webhook spool {path}: torn line {i} inside "
+                    f"committed range [{start}, {end})")
+    return out
+
+
+def _to_row(rec: dict) -> tuple:
+    ts = rec.get("received_at")
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    return (rec.get("message"), rec.get("remote_addr"),
+            rec.get("content_type"), ts)
+
+
+class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are spool line counts: ``{"line": n}`` means the first n
+    lines are consumed.  ``read`` drains to the current EOF; a Spark-side
+    micro-batch retry calls ``readBetweenOffsets`` with the committed
+    bounds and gets byte-identical rows back (the spool never mutates
+    in place, only appends)."""
+
+    def __init__(self, options: dict):
+        spool_dir = options.get("spool_dir") or options.get("path")
+        if not spool_dir:
+            raise ValueError(
+                "http_webhook source requires option 'spool_dir' — the "
+                "directory an HttpEventSpool listener is writing to")
+        self.path = os.path.join(spool_dir, _SPOOL_FILE)
+
+    def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
+        return {"line": 0}
+
+    def read(self, start: dict):
+        recs = _read_lines(self.path, start["line"])
+        return iter([_to_row(r) for r in recs]), \
+            {"line": start["line"] + len(recs)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        recs = _read_lines(self.path, start["line"], end["line"])
+        return iter([_to_row(r) for r in recs])
+
+    def commit(self, end: dict) -> None:
+        # retention is the spool owner's concern (DLQ-style age/size
+        # pruning would truncate *whole files*, never committed ranges);
+        # keeping everything preserves full replay from any checkpoint.
+        pass
+
+
+class HttpWebhookDataSource(DataSource):
+    """``spark.readStream.format("http_webhook")`` — register with
+    ``spark.dataSource.register(HttpWebhookDataSource)`` (idempotent via
+    :func:`register_http_webhook`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_webhook"
+
+    def schema(self) -> str:
+        return HTTP_INPUT_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802
+        return _HttpSpoolStreamReader(self.options)
+
+
+def register_http_webhook(spark) -> None:
+    """Idempotently register the datasource with this session."""
+    try:
+        spark.dataSource.register(HttpWebhookDataSource)
+    except Exception as e:  # noqa: BLE001 — already registered
+        if "already" not in str(e).lower():
+            raise
+
+
+def http_webhook_stream(spark, spool_dir: str):
+    """The readStream entry: events POSTed to the paired
+    :class:`HttpEventSpool` appear as streaming rows."""
+    register_http_webhook(spark)
+    return (spark.readStream.format("http_webhook")
+            .option("spool_dir", spool_dir).load())

@@ -277,6 +277,280 @@ class TestMonitoringHTTP:
             assert root["status"] == "yellow"
 
 
+class TestHttpWebhookInput:
+    """VERDICT r4 missing #2 / 'Next round' #5: a native streaming http
+    input via Spark 4's Python Data Source API, replacing the tcp-bridge
+    recipe.  Reference contract: co/elastic/logstash/api/Input.java:46-62
+    (push input: start listener, push events until stop); plugin surface
+    rakelib/plugins-metadata.json:310 (logstash-input-http)."""
+
+    @staticmethod
+    def _post(port: int, body: str, ctype: str = "text/plain"):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/", data=body.encode(),
+            headers={"Content-Type": ctype}, method="POST")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 200
+
+    def test_live_post_checkpoint_resume(self, spark, tmp_path):
+        from logstash_spark.sources.http_input import (HttpEventSpool,
+                                                       http_webhook_stream)
+
+        spool_dir = str(tmp_path / "spool")
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        with HttpEventSpool(spool_dir) as spool:
+            for i in range(3):
+                self._post(spool.port, f"ev{i}")
+            df = http_webhook_stream(spark, spool_dir)
+            assert df.isStreaming
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            assert spark.read.parquet(out).count() == 3
+            # events that arrive while the query is down are picked up on
+            # resume from the SAME checkpoint, exactly once
+            for i in range(3, 5):
+                self._post(spool.port, f"ev{i}")
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            got = sorted(r.message
+                         for r in spark.read.parquet(out).collect())
+            assert got == [f"ev{i}" for i in range(5)]
+
+    def test_ndjson_body_splits_events(self, spark, tmp_path):
+        from logstash_spark.sources.http_input import (HttpEventSpool,
+                                                       http_webhook_stream)
+
+        spool_dir = str(tmp_path / "spool")
+        with HttpEventSpool(spool_dir) as spool:
+            self._post(spool.port, '{"a":1}\n{"a":2}\n{"a":3}',
+                       ctype="application/x-ndjson")
+            df = http_webhook_stream(spark, spool_dir)
+            out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            assert spark.read.parquet(out).count() == 3
+
+    def test_lscl_http_input_compiles_to_real_source(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        spool_dir = str(tmp_path / "spool")
+        sink = str(tmp_path / "sink")
+        cfg = f"""
+        input {{ http {{ spool_dir => "{spool_dir}" }} }}
+        filter {{ mutate {{ uppercase => ["message"] }} }}
+        output {{ file {{ path => "{sink}" codec => "json_lines" }} }}
+        """
+        job = compile_lscl_job(cfg)
+        # source_stream starts the listener lazily; build the stream first
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"),
+                           available_now=False,
+                           trigger_interval="200 milliseconds")
+        try:
+            assert job.http_spools, "listener not started"
+            port = job.http_spools[0].port
+            for i in range(4):
+                self._post(port, f"hello{i}")
+            import time as _time
+            rows = []
+            for _ in range(150):
+                try:
+                    rows = spark.read.json(sink).collect()
+                except Exception:  # noqa: BLE001 — sink dir not yet created
+                    rows = []
+                if len(rows) >= 4:
+                    break
+                _time.sleep(0.2)
+            assert sorted(r.message for r in rows) == \
+                ["HELLO0", "HELLO1", "HELLO2", "HELLO3"]
+        finally:
+            q.stop()
+            for s in job.http_spools:
+                s.stop()
+
+    def test_batch_run_rejects_http_input(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        cfg = f"""
+        input {{ http {{ spool_dir => "{tmp_path}" }} }}
+        output {{ null {{}} }}
+        """
+        with pytest.raises(SyntaxError, match="stream"):
+            compile_lscl_job(cfg).run(spark)
+
+
+class TestKeystore:
+    """VERDICT r4 missing #3: read the reference's secret-store format
+    (org/logstash/secret/store/backend/JavaKeyStore.java — PKCS12 + PBE
+    entries under urn:logstash:secret:v1:<key>, default password appended
+    obfuscated to the file) into the ${VAR} expansion snapshot."""
+
+    def test_roundtrip_default_pass(self, spark, tmp_path):
+        from logstash_spark.plans.keystore import (create_keystore,
+                                                   load_keystore)
+
+        p = str(tmp_path / "logstash.keystore")
+        create_keystore(p, {"es_pwd": "s3cr3t", "api_key": "ab c/+=!"},
+                        spark=spark)
+        got = load_keystore(p, spark=spark)
+        assert got == {"es_pwd": "s3cr3t", "api_key": "ab c/+=!"}
+
+    def test_roundtrip_explicit_pass(self, spark, tmp_path, monkeypatch):
+        from logstash_spark.plans.keystore import (ENV_PASS_KEY,
+                                                   create_keystore,
+                                                   load_keystore)
+
+        p = str(tmp_path / "ks2")
+        create_keystore(p, {"token": "tok123"}, password="hunter2",
+                        spark=spark)
+        # no trailer on an explicit-pass keystore: env var carries the pass
+        monkeypatch.setenv(ENV_PASS_KEY, "hunter2")
+        assert load_keystore(p, spark=spark) == {"token": "tok123"}
+        # wrong password must fail, not return garbage
+        monkeypatch.setenv(ENV_PASS_KEY, "wrong")
+        with pytest.raises(Exception):
+            load_keystore(p, spark=spark)
+
+    def test_lscl_expands_from_keystore(self, spark, tmp_path, monkeypatch):
+        from logstash_spark.plans.keystore import create_keystore
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        p = str(tmp_path / "ks3")
+        create_keystore(p, {"out_tag": "from_keystore"}, spark=spark)
+        # precedence: keystore beats an identically-named env var
+        monkeypatch.setenv("out_tag", "from_env")
+        cfg = """
+        input { stdin {} }
+        filter { mutate { add_field => { "tag" => "${out_tag}" } } }
+        output { null {} }
+        """
+        job = compile_lscl_job(cfg, context={"keystore": p})
+        df = spark.range(1).selectExpr("'x' AS message")
+        out = job.run(spark, stdin_df=df)
+        assert out.select("tag").first().tag == "from_keystore"
+
+    def test_unset_secret_still_errors(self, spark, tmp_path):
+        from logstash_spark.plans.keystore import create_keystore
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        p = str(tmp_path / "ks4")
+        create_keystore(p, {"other": "x"}, spark=spark)
+        cfg = """
+        input { stdin {} }
+        filter { mutate { add_field => { "t" => "${NOPE_NOT_SET}" } } }
+        output { null {} }
+        """
+        with pytest.raises(SyntaxError, match="NOPE_NOT_SET"):
+            compile_lscl_job(cfg, context={"keystore": p})
+
+
+class TestBinaryEncodeCodecs:
+    """VERDICT r4 'Next round' #8: the codec contract is bidirectional
+    (logstash-core/lib/logstash/codecs/base.rb:38-86) — encode paths for
+    msgpack and fluent, round-tripping through the existing decoders."""
+
+    def test_mp_value_roundtrip(self):
+        from logstash_spark.operators.codecs_binary import (_mp_decode,
+                                                            _mp_encode)
+
+        cases = [
+            None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536,
+            2**32, 2**63 - 1, -1, -32, -33, -128, -129, -32768, -32769,
+            -2**31, -2**63, 1.5, -0.25, "", "x", "a" * 31, "a" * 32,
+            "a" * 300, "a" * 70000, b"", b"\x00\xff", b"b" * 300,
+            [], [1, "two", None], list(range(20)),
+            {}, {"k": "v"}, {"n": {"deep": [1, {"x": True}]}},
+            {f"k{i}": i for i in range(20)},
+        ]
+        for v in cases:
+            got, end = _mp_decode(_mp_encode(v))
+            enc = _mp_encode(v)
+            assert end == len(enc), v
+            if isinstance(v, list):
+                assert got == v or list(got) == v
+            else:
+                assert got == v, v
+
+    def test_mp_canonical_bytes_stable(self):
+        """encode(decode(b)) == b for canonical smallest-width buffers."""
+        from logstash_spark.operators.codecs_binary import (_mp_decode,
+                                                            _mp_encode)
+
+        bufs = [
+            b"\xc0", b"\xc3", b"\x7f", b"\xe0",            # nil/true/fix
+            b"\xcc\x80", b"\xcd\x01\x00",                   # uint8/16
+            b"\xa3abc", b"\x92\x01\x02", b"\x81\xa1k\xa1v",  # str/arr/map
+        ]
+        for b in bufs:
+            v, _ = _mp_decode(b)
+            assert _mp_encode(v) == b, b
+
+    def test_msgpack_df_roundtrip(self, spark):
+        from logstash_spark.operators.codecs_binary import (msgpack_decode,
+                                                            msgpack_encode)
+
+        df = spark.createDataFrame(
+            [(1, "alpha", 3.5), (2, "beta", -0.5), (3, None, 0.0)],
+            "id int, name string, score double")
+        enc = msgpack_encode(df, columns=["id", "name", "score"],
+                             target="pkt")
+        dec = msgpack_decode(enc.select("pkt"), "pkt",
+                             "id int, name string, score double")
+        got = sorted(((r.id, r.name, r.score)
+                      for r in dec.select("id", "name", "score").collect()))
+        assert got == [(1, "alpha", 3.5), (2, "beta", -0.5), (3, None, 0.0)]
+        assert dec.filter(
+            F.array_contains("tags", "_msgpackparsefailure")).count() == 0
+
+    def test_fluent_df_roundtrip(self, spark):
+        from logstash_spark.operators.codecs_binary import (fluent_decode,
+                                                            fluent_encode)
+
+        df = spark.createDataFrame(
+            [(1700000000, "a", 1), (1700000060, "b", 2)],
+            "ts long, msg string, n int")
+        enc = fluent_encode(df, tag="app.log", time_col="ts",
+                            record_cols=["msg", "n"], target="pkt")
+        dec = fluent_decode(enc.select("pkt"), "pkt")
+        rows = sorted(((r.fluent_tag, r.fluent_time, r.record)
+                       for r in dec.collect()))
+        assert [r[0] for r in rows] == ["app.log", "app.log"]
+        assert [r[1] for r in rows] == [1700000000, 1700000060]
+        import json as _json
+        assert _json.loads(rows[0][2]) == {"msg": "a", "n": 1}
+
+    def test_fluent_eventtime_ext_roundtrip(self, spark):
+        from logstash_spark.operators.codecs_binary import (fluent_decode,
+                                                            fluent_encode)
+
+        df = spark.createDataFrame([(1700000123, "x")], "ts long, msg string")
+        enc = fluent_encode(df, tag="t", time_col="ts",
+                            record_cols=["msg"], target="pkt",
+                            time_as_integer=False)
+        r = fluent_decode(enc.select("pkt"), "pkt").first()
+        assert (r.fluent_time, r.fluent_failed) == (1700000123, False)
+
+    def test_fluent_tag_from_column(self, spark):
+        from logstash_spark.operators.codecs_binary import (fluent_decode,
+                                                            fluent_encode)
+
+        df = spark.createDataFrame(
+            [(10, "svc.a", "m1"), (20, "svc.b", "m2")],
+            "ts long, source string, msg string")
+        enc = fluent_encode(df, tag="@source", time_col="ts",
+                            record_cols=["msg"], target="pkt")
+        got = {r.fluent_tag for r in
+               fluent_decode(enc.select("pkt"), "pkt").collect()}
+        assert got == {"svc.a", "svc.b"}
+
+
 class TestEsSourceBounds:
     """ADVICE r4: the stdlib scroll fallback pulled an entire index into a
     driver-side list (max_docs default None) and silently used hosts[0]
