@@ -198,6 +198,30 @@ def main() -> None:
     t_all0 = time.perf_counter()
     per_query = bench_batch(spark, sf_dir, names)
     query_runs = per_query.pop("__runs__", {})
+    # The xxhash64 minhash family is the 100-TB path (3.6x cheaper
+    # signatures) but has no DuckDB twin, so it is benched here directly
+    # rather than spending one of the ~50 oracle-gate slots.  The r3/r4
+    # dedup_minhash_lsh timings (0.19-1.4 s) were flattered by the
+    # since-fixed signature-cache leak (iterations 2+ hit the leaked
+    # CacheManager entry); the sha256 gate timing above is now the
+    # honest cold cost, and this is the cold cost of the fast family.
+    from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+    spark.catalog.clearCache()
+    times = []
+    while len(times) < 6:
+        t0 = time.perf_counter()
+        df = minhash_lsh_dedup(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            n_hashes=16, band_size=4, hash_family="xxhash64")
+        _force(df)
+        times.append(round(time.perf_counter() - t0, 3))
+        if len(times) >= 3:
+            best, second = sorted(times)[:2]
+            if second <= best * 1.10:
+                break
+    query_runs["dedup_minhash_lsh_xxhash"] = times
+    per_query["dedup_minhash_lsh_xxhash"] = min(times)
     ns = bench_north_star(spark, sf)
     total = time.perf_counter() - t_all0
 

@@ -74,22 +74,53 @@ _HASHES_PER_DIGEST = 8
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
-                       n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc minhash signature:
+                       n_hashes: int = N_MINHASH,
+                       hash_family: str = "sha256") -> DataFrame:
+    """Per-doc minhash signature.  Two hash families:
+
+    ``sha256`` (default, oracle-reproducible):
     ``h_i = min(substr(sha256(salt || '|' || shingle), slice_i, 8))`` where
     each salted sha256 digest supplies 8 independent 32-bit hex slices
-    (salt = i//8, slice = i%8).
+    (salt = i//8, slice = i%8).  Lexicographic min over a fixed-width
+    uniform hex hash is a valid min-hash family, reproducible in ANY
+    engine (the DuckDB oracle computes the identical signature).
 
-    Lexicographic min over a fixed-width uniform hex hash is a valid
-    min-hash family, reproducible in ANY engine (the DuckDB oracle computes
-    the identical signature).  Slicing one strong digest into 8 hashes
-    replaces the previous one-md5-per-hash design: at n=16 that is 2 hash
-    evaluations per shingle instead of 16 — measured 3.3s -> ~1.8s on the
-    sf0.1 signature stage, and at 100 TB the signature scan is the
-    dominant cost of the whole dedup.  The digests are computed in a
-    PROJECTION before the groupBy (one evaluation per shingle row); the
-    MIN aggregates see only cheap substrings.  One shuffle (groupBy doc).
+    ``xxhash64`` (the 100-TB fast path, r5): two 64-bit base hashes per
+    shingle — ``h1 = xxhash64(shingle)``, ``h2 = xxhash64(shingle, 1)`` —
+    derive the family by xor-rotate double hashing
+    ``h_i = h1 XOR rotl(h2, (7i mod 63)+1)`` (Kirsch-Mitzenmacher double
+    hashing with a bit-rotation instead of multiplication, which ANSI
+    mode would overflow-check).  Measured 3.6x cheaper than the sha256
+    family on the sf0.1 signature stage (0.8s vs 2.9s; raw shingle scan
+    is 0.55s) and produces the identical candidate-pair set on the test
+    corpora — but xxhash64 is Spark-specific, so this family cannot be
+    mirrored by the DuckDB oracle and its gate is rows-only.
+
+    At 100 TB the signature scan is the dominant cost of the whole
+    dedup, which is why the hash family is caller-visible.  Either way
+    the digests are computed in a PROJECTION before the groupBy (one
+    evaluation per shingle row); the MIN aggregates see only cheap
+    derivations, the aggregation buffer is BIGINT (HashAggregate, not
+    SortAggregate), and there is one shuffle (groupBy doc).
     """
+    if hash_family == "xxhash64":
+        h1, h2 = F.xxhash64("shingle"), F.xxhash64("shingle", F.lit(1))
+        pre = shingles.select(id_col, h1.alias("__h1"), h2.alias("__h2"))
+
+        def rotl(c, i):
+            return c if i == 0 else F.shiftleft(c, i).bitwiseOR(
+                F.shiftrightunsigned(c, 64 - i))
+
+        aggs = [
+            F.min(F.col("__h1").bitwiseXOR(
+                rotl(F.col("__h2"), (7 * i) % 63 + 1)) if i
+                else F.col("__h1")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        return pre.groupBy(id_col).agg(*aggs)
+    if hash_family != "sha256":
+        raise ValueError(f"unknown minhash hash_family {hash_family!r} "
+                         "(sha256 | xxhash64)")
     n_digests = -(-n_hashes // _HASHES_PER_DIGEST)
     pre = shingles.select(
         id_col,
@@ -154,7 +185,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       n_hashes: int = N_MINHASH,
                       band_size: int = BAND_SIZE,
                       shingle_n: int = 3,
-                      cache_signatures: bool = True) -> DataFrame:
+                      cache_signatures: bool = True,
+                      hash_family: str = "sha256") -> DataFrame:
     """Full MinHash+LSH near-dup candidate pipeline.
 
     Recall is the banding curve P(candidate) = 1 - (1 - s^r)^b for Jaccard
@@ -170,7 +202,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     # shingle stage stays narrow (saves a full shuffle of the exploded
     # shingle rows — the largest intermediate in the whole pipeline)
     sh = word_shingles(df, text_col, id_col, n=shingle_n, distinct=False)
-    sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes)
+    sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes,
+                              hash_family=hash_family)
     if not cache_signatures:
         return lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes,
                                    band_size=band_size)

@@ -926,7 +926,8 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline",
-                               "s3", "elasticsearch", "redis", "http"})
+                               "s3", "elasticsearch", "redis", "http",
+                               "udp"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
                                 "tcp", "pipeline", "iceberg", "s3", "http"})
 
@@ -1032,9 +1033,9 @@ class LsclJob:
 
     def _one_source(self, spark, n: PluginNode, stdin_df) -> DataFrame:
         a = n.attrs
-        if n.name == "http":
+        if n.name in ("http", "udp"):
             raise SyntaxError(
-                "LSCL: http{} is a live webhook listener — a stream; run "
+                f"LSCL: {n.name}{{}} is a live listener — a stream; run "
                 "this config with run_stream (batch has no arrival "
                 "semantics to replay)")
         if n.name == "pipeline":
@@ -1281,20 +1282,22 @@ class LsclJob:
                 raise SyntaxError(
                     "LSCL: generator{} is a bounded batch input; for a "
                     "streaming load source use spark.readStream.format('rate')")
-            elif n.name == "http":
-                # logstash-input-http (meta:310): a real in-engine webhook
-                # source — the listener spools POSTs, the Python Data
-                # Source replays spool line-ranges as offsets.  Replaces
-                # the tcp-bridge recipe (tests/test_bridges.py, r4).
+            elif n.name in ("http", "udp"):
+                # logstash-input-http (meta:310) / -udp (meta:404): real
+                # in-engine push sources — the listener spools requests /
+                # datagrams, the Python Data Source replays spool
+                # line-ranges as offsets.  Replaces the bridge recipes
+                # (tests/test_bridges.py, r4).
                 from logstash_spark.sources.http_input import (
-                    HttpEventSpool, http_webhook_stream)
+                    HttpEventSpool, UdpEventSpool, http_webhook_stream)
 
                 if "spool_dir" not in a:
                     raise SyntaxError(
-                        "LSCL: http input requires spool_dir => \"...\" — "
-                        "the durable spool is what makes the stream "
-                        "checkpoint/resumable")
-                spool = HttpEventSpool(
+                        f"LSCL: {n.name} input requires spool_dir => "
+                        "\"...\" — the durable spool is what makes the "
+                        "stream checkpoint/resumable")
+                cls = HttpEventSpool if n.name == "http" else UdpEventSpool
+                spool = cls(
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
                 self.http_spools.append(spool)

@@ -219,3 +219,76 @@ def http_webhook_stream(spark, spool_dir: str):
     register_http_webhook(spark)
     return (spark.readStream.format("http_webhook")
             .option("spool_dir", spool_dir).load())
+
+
+class UdpEventSpool:
+    """logstash-input-udp analog (plugins-metadata.json:404): a UDP
+    listener thread spooling one event per datagram into the SAME spool
+    format :class:`_HttpSpoolStreamReader` replays — so
+    ``input { udp { port spool_dir } }`` gets the identical
+    offset/checkpoint/replay semantics as the http input.
+
+    The reference fronts lossy UDP with its persisted queue; here the
+    spool IS that durability boundary — a datagram is either fsynced to
+    the spool (and will be delivered exactly once downstream) or was
+    dropped on the wire before the engine ever saw it, the same contract.
+    ``content_type`` is reported as ``udp/datagram``.
+    """
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1",
+                 port: int = 0, buffer_size: int = 65536):
+        import socket
+
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.path = os.path.join(spool_dir, _SPOOL_FILE)
+        self._lock = threading.Lock()
+        self._buffer_size = buffer_size
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    def _loop(self) -> None:
+        self._sock.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                data, addr = self._sock.recvfrom(self._buffer_size)
+            except OSError:  # timeout or closed socket
+                continue
+            now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+            line = json.dumps({
+                "message": data.decode("utf-8", "replace"),
+                "remote_addr": addr[0], "content_type": "udp/datagram",
+                "received_at": now}) + "\n"
+            with self._lock, open(self.path, "a", encoding="utf-8") as f:
+                f.write(line)
+                f.flush()
+                os.fsync(f.fileno())
+
+    def start(self) -> "UdpEventSpool":
+        self._thread = threading.Thread(target=self._loop, name="udp-input",
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self._sock.close()
+
+    def __enter__(self) -> "UdpEventSpool":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def udp_stream(spark, spool_dir: str):
+    """readStream entry for the udp input — same datasource, same offsets."""
+    return http_webhook_stream(spark, spool_dir)

@@ -29,6 +29,9 @@ class TestMinhashLifecycle:
         from logstash_spark.datahub.dedup import minhash_lsh_dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # session-scoped fixtures may have their own caches; establish a
+        # clean baseline so the assertion is about THIS call's residue
+        spark.catalog.clearCache()
         assert self._cache_manager_empty(spark)
         pairs = minhash_lsh_dedup(docs, n_hashes=16, band_size=4)
         # the signature persist must be released before the call returns
@@ -45,6 +48,7 @@ class TestMinhashLifecycle:
         from logstash_spark.datahub.dedup import minhash_lsh_dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.catalog.clearCache()  # baseline: fixture caches are not ours
         for _ in range(3):
             minhash_lsh_dedup(docs, n_hashes=8, band_size=4).count()
             assert self._cache_manager_empty(spark)
@@ -58,6 +62,46 @@ class TestMinhashLifecycle:
         b = {(r.a, r.b) for r in
              minhash_lsh_dedup(docs, cache_signatures=False).collect()}
         assert a == b
+
+
+class TestMinhashHashFamilies:
+    """r5: the xxhash64 xor-rotate family is the 100-TB signature path
+    (3.6x cheaper than the oracle-reproducible sha256 family on the
+    sf0.1 signature stage).  Different hash family => possibly different
+    individual signatures, but the candidate-pair SETS must agree on the
+    test corpora (both are uniform min-hash families at the same n/r
+    banding curve)."""
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+    def test_pair_sets_agree_across_families(self, spark, sf):
+        from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sha = {(r.a, r.b) for r in minhash_lsh_dedup(
+            docs, n_hashes=16, band_size=4).collect()}
+        xx = {(r.a, r.b) for r in minhash_lsh_dedup(
+            docs, n_hashes=16, band_size=4,
+            hash_family="xxhash64").collect()}
+        assert sha == xx
+
+    def test_fast_family_lifecycle_clean(self, spark, sf_dir):
+        from logstash_spark.datahub.dedup import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.catalog.clearCache()
+        minhash_lsh_dedup(docs, hash_family="xxhash64").count()
+        assert bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    def test_unknown_family_rejected(self, spark, sf_dir):
+        from logstash_spark.datahub.dedup import minhash_signatures, \
+            word_shingles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = word_shingles(docs, "text", "doc_id")
+        with pytest.raises(ValueError, match="hash_family"):
+            minhash_signatures(sh, hash_family="md5")
 
 
 class TestBandHashInjectivity:
@@ -370,6 +414,49 @@ class TestHttpWebhookInput:
                 _time.sleep(0.2)
             assert sorted(r.message for r in rows) == \
                 ["HELLO0", "HELLO1", "HELLO2", "HELLO3"]
+        finally:
+            q.stop()
+            for s in job.http_spools:
+                s.stop()
+
+    def test_udp_input_native(self, spark, tmp_path):
+        """logstash-input-udp (meta:404) rides the same spool datasource:
+        datagrams become replayable streaming rows."""
+        import socket
+
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        spool_dir = str(tmp_path / "spool")
+        sink = str(tmp_path / "sink")
+        cfg = f"""
+        input {{ udp {{ spool_dir => "{spool_dir}" }} }}
+        output {{ file {{ path => "{sink}" codec => "json_lines" }} }}
+        """
+        job = compile_lscl_job(cfg)
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"),
+                           available_now=False,
+                           trigger_interval="200 milliseconds")
+        try:
+            port = job.http_spools[0].port
+            cli = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            import time as _time
+            rows = []
+            deadline = _time.time() + 30
+            sent = 0
+            while _time.time() < deadline and len(rows) < 3:
+                # UDP is lossy even on loopback under load — retry sends
+                # until the spool has them (delivery-once is downstream
+                # of the spool, not of the wire)
+                for i in range(3):
+                    cli.sendto(f"dgram{i}".encode(), ("127.0.0.1", port))
+                sent += 3
+                _time.sleep(0.5)
+                try:
+                    rows = {r.message
+                            for r in spark.read.json(sink).collect()}
+                except Exception:  # noqa: BLE001
+                    rows = []
+            assert {"dgram0", "dgram1", "dgram2"} <= set(rows)
         finally:
             q.stop()
             for s in job.http_spools:
