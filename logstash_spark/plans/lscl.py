@@ -927,7 +927,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline",
                                "s3", "elasticsearch", "redis", "http",
-                               "udp"})
+                               "udp", "http_poller"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
                                 "tcp", "pipeline", "iceberg", "s3", "http"})
 
@@ -1033,10 +1033,10 @@ class LsclJob:
 
     def _one_source(self, spark, n: PluginNode, stdin_df) -> DataFrame:
         a = n.attrs
-        if n.name in ("http", "udp"):
+        if n.name in ("http", "udp", "http_poller"):
             raise SyntaxError(
-                f"LSCL: {n.name}{{}} is a live listener — a stream; run "
-                "this config with run_stream (batch has no arrival "
+                f"LSCL: {n.name}{{}} is a live listener/poller — a stream; "
+                "run this config with run_stream (batch has no arrival "
                 "semantics to replay)")
         if n.name == "pipeline":
             return self.bus.listen(a["address"])
@@ -1300,6 +1300,35 @@ class LsclJob:
                 spool = cls(
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
+                self.http_spools.append(spool)
+                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
+            elif n.name == "http_poller":
+                # logstash-input-http_poller (meta:314): scheduled GETs of
+                # a url set, one event per poll per url, via the same
+                # replayable spool.  schedule => { every => "10s" } or
+                # interval => seconds.
+                from logstash_spark.sources.http_input import (
+                    HttpPollerSpool, http_webhook_stream)
+
+                if "spool_dir" not in a or "urls" not in a:
+                    raise SyntaxError(
+                        "LSCL: http_poller input requires urls => {...} "
+                        "and spool_dir => \"...\"")
+                interval = float(a.get("interval", 0) or 0)
+                sched = a.get("schedule")
+                if not interval and isinstance(sched, dict) \
+                        and sched.get("every"):
+                    m = re.match(r"^(\d+(?:\.\d+)?)\s*(s|m|h)?$",
+                                 str(sched["every"]))
+                    if not m:
+                        raise SyntaxError(
+                            f"LSCL: http_poller schedule.every "
+                            f"{sched['every']!r} — use e.g. \"10s\"/\"1m\"")
+                    interval = float(m.group(1)) * \
+                        {"s": 1, "m": 60, "h": 3600}[m.group(2) or "s"]
+                spool = HttpPollerSpool(
+                    a["spool_dir"], a["urls"],
+                    interval=interval or 60.0).start()
                 self.http_spools.append(spool)
                 dfs.append(http_webhook_stream(spark, a["spool_dir"]))
         if not dfs:

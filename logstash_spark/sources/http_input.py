@@ -292,3 +292,80 @@ class UdpEventSpool:
 def udp_stream(spark, spool_dir: str):
     """readStream entry for the udp input — same datasource, same offsets."""
     return http_webhook_stream(spark, spool_dir)
+
+
+class HttpPollerSpool:
+    """logstash-input-http_poller analog (plugins-metadata.json:314): poll
+    a set of URLs on a fixed schedule, one event per poll per URL, into
+    the same replayable spool the http/udp inputs use.
+
+    Event shape mirrors the webhook rows: ``message`` = response body,
+    ``remote_addr`` = the polled URL (provenance), ``content_type`` from
+    the response headers.  Poll failures emit an event with
+    ``content_type='http_poller/error'`` and the error string as the
+    message — the reference tags `_http_request_failure` and keeps going;
+    a silent skip would make an outage invisible downstream.
+
+    Polling is a driver-side timer thread (the reference runs one
+    scheduler per pipeline); the downstream engine sees only spool
+    offsets, so checkpoint/resume and retry replay are identical to the
+    webhook path.
+    """
+
+    def __init__(self, spool_dir: str, urls: dict[str, str] | list[str],
+                 interval: float = 60.0, timeout: float = 30.0):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.path = os.path.join(spool_dir, _SPOOL_FILE)
+        if isinstance(urls, list):
+            urls = {u: u for u in urls}
+        self.urls = urls
+        self.interval = interval
+        self.timeout = timeout
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def poll_once(self) -> int:
+        """One scheduler tick: GET every URL, spool one event each."""
+        import urllib.request
+
+        lines = []
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        for name, url in self.urls.items():
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout) as r:
+                    body = r.read().decode("utf-8", "replace")
+                    ctype = r.headers.get("Content-Type", "text/plain")
+            except Exception as e:  # noqa: BLE001 — outage must be visible
+                body, ctype = f"{type(e).__name__}: {e}", "http_poller/error"
+            lines.append(json.dumps({
+                "message": body, "remote_addr": url,
+                "content_type": ctype, "received_at": now}))
+        with self._lock, open(self.path, "a", encoding="utf-8") as f:
+            f.write("".join(ln + "\n" for ln in lines))
+            f.flush()
+            os.fsync(f.fileno())
+        return len(lines)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.poll_once()
+            self._stop.wait(self.interval)
+
+    def start(self) -> "HttpPollerSpool":
+        self._thread = threading.Thread(target=self._loop,
+                                        name="http-poller", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "HttpPollerSpool":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

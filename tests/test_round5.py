@@ -462,6 +462,65 @@ class TestHttpWebhookInput:
             for s in job.http_spools:
                 s.stop()
 
+    def test_http_poller_native(self, spark, tmp_path):
+        """logstash-input-http_poller (meta:314): scheduled GETs -> spool
+        -> streaming rows; poll failures surface as tagged events."""
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                body = _json.dumps({"status": "up"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}/health"
+        dead = "http://127.0.0.1:1/nope"
+        spool_dir = str(tmp_path / "spool")
+        sink = str(tmp_path / "sink")
+        cfg = f"""
+        input {{ http_poller {{
+            urls => {{ "up" => "{url}" "down" => "{dead}" }}
+            schedule => {{ "every" => "1s" }}
+            spool_dir => "{spool_dir}" }} }}
+        output {{ file {{ path => "{sink}" codec => "json_lines" }} }}
+        """
+        job = compile_lscl_job(cfg)
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"),
+                           available_now=False,
+                           trigger_interval="200 milliseconds")
+        try:
+            import time as _time
+            rows = []
+            for _ in range(150):
+                try:
+                    rows = spark.read.json(sink).collect()
+                except Exception:  # noqa: BLE001
+                    rows = []
+                if len({(r.remote_addr, r.content_type) for r in rows}) >= 2:
+                    break
+                _time.sleep(0.2)
+            by_url = {r.remote_addr: r for r in rows}
+            assert url in by_url and dead in by_url
+            assert _json.loads(by_url[url].message) == {"status": "up"}
+            assert by_url[dead].content_type == "http_poller/error"
+        finally:
+            q.stop()
+            for s in job.http_spools:
+                s.stop()
+            srv.shutdown()
+
     def test_batch_run_rejects_http_input(self, spark, tmp_path):
         from logstash_spark.plans.lscl import compile_lscl_job
 
