@@ -67,6 +67,12 @@ def _build_handler(server: "MonitoringServer"):
                 self._respond({**server.node_info(), "events": events,
                                "pipelines": stats["pipelines"],
                                "status": server.status()})
+            elif path == "/_node/hot_threads":
+                # api/modules/node.rb GET /hot_threads — the reference
+                # dumps the busiest JVM threads; here both sides of the
+                # engine: driver Python threads and (when a SparkSession
+                # was attached) JVM threads via py4j.
+                self._respond({"hot_threads": server.hot_threads()})
             elif path.startswith("/_node/stats/pipelines/"):
                 pid = path.rsplit("/", 1)[1]
                 stats = server.stats()
@@ -93,10 +99,12 @@ class MonitoringServer:
     """
 
     def __init__(self, metrics_path: str, host: str = "127.0.0.1",
-                 port: int | None = None, name: str = "logstash_spark"):
+                 port: int | None = None, name: str = "logstash_spark",
+                 spark=None):
         self.metrics_path = metrics_path
         self.host = host
         self.name = name
+        self.spark = spark  # optional: enables JVM threads in hot_threads
         self._requested_port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -119,6 +127,39 @@ class MonitoringServer:
     def node_info(self) -> dict:
         return {"name": self.name, "host": self.host,
                 "http_address": f"{self.host}:{self.port}"}
+
+    def hot_threads(self) -> list[dict]:
+        """node.rb GET /hot_threads analog: driver Python threads always;
+        JVM threads too when a SparkSession was attached (driver-side
+        only — executor hot threads live in the Spark UI/REST API on a
+        real cluster)."""
+        import sys
+        import traceback
+
+        frames = sys._current_frames()
+        out = []
+        for t in threading.enumerate():
+            fr = frames.get(t.ident)
+            out.append({
+                "name": t.name, "side": "python",
+                "daemon": t.daemon, "alive": t.is_alive(),
+                "stack": traceback.format_stack(fr)[-5:] if fr else [],
+            })
+        if self.spark is not None:
+            try:
+                jvm = self.spark.sparkContext._jvm
+                it = (jvm.java.lang.Thread.getAllStackTraces()
+                      .entrySet().iterator())
+                while it.hasNext():
+                    e = it.next()
+                    th = e.getKey()
+                    stack = [str(f) for f in e.getValue()][:5]
+                    out.append({"name": th.getName(), "side": "jvm",
+                                "state": str(th.getState()),
+                                "stack": stack})
+            except Exception:  # noqa: BLE001 — stats must not take the
+                pass           # API down if the JVM is busy/shutting down
+        return out
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -320,6 +320,22 @@ class TestMonitoringHTTP:
             status, root = self._get(srv.port, "/")
             assert root["status"] == "yellow"
 
+    def test_hot_threads(self, spark, tmp_path):
+        """node.rb GET /hot_threads: python threads always, jvm threads
+        when a session is attached."""
+        from logstash_spark.streaming.webserver import MonitoringServer
+
+        with MonitoringServer(str(tmp_path / "m.jsonl"), port=0,
+                              spark=spark) as srv:
+            status, body = self._get(srv.port, "/_node/hot_threads")
+            assert status == 200
+            sides = {t["side"] for t in body["hot_threads"]}
+            assert sides == {"python", "jvm"}
+            names = {t["name"] for t in body["hot_threads"]}
+            assert "monitoring-api" in names  # sees itself
+            assert any(t["side"] == "jvm" and t.get("stack")
+                       for t in body["hot_threads"])
+
 
 class TestHttpWebhookInput:
     """VERDICT r4 missing #2 / 'Next round' #5: a native streaming http
