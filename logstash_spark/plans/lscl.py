@@ -927,7 +927,7 @@ def compile_lscl(config_text: str, context: dict | None = None) -> Pipeline:
 _SUPPORTED_INPUTS = frozenset({"generator", "file", "stdin",
                                "kafka", "tcp", "syslog", "pipeline",
                                "s3", "elasticsearch", "redis", "http",
-                               "udp", "http_poller"})
+                               "udp", "http_poller", "beats"})
 _SUPPORTED_OUTPUTS = frozenset({"stdout", "file", "null", "elasticsearch",
                                 "tcp", "pipeline", "iceberg", "s3", "http"})
 
@@ -1033,7 +1033,7 @@ class LsclJob:
 
     def _one_source(self, spark, n: PluginNode, stdin_df) -> DataFrame:
         a = n.attrs
-        if n.name in ("http", "udp", "http_poller"):
+        if n.name in ("http", "udp", "http_poller", "beats"):
             raise SyntaxError(
                 f"LSCL: {n.name}{{}} is a live listener/poller — a stream; "
                 "run this config with run_stream (batch has no arrival "
@@ -1282,6 +1282,22 @@ class LsclJob:
                 raise SyntaxError(
                     "LSCL: generator{} is a bounded batch input; for a "
                     "streaming load source use spark.readStream.format('rate')")
+            elif n.name == "beats":
+                # logstash-input-beats (meta:248): a real lumberjack v2
+                # listener — window/compressed/json frames, spool-then-ack
+                # durability ordering (sources/beats_input.py).
+                from logstash_spark.sources.beats_input import BeatsSpool
+                from logstash_spark.sources.http_input import \
+                    http_webhook_stream
+
+                if "spool_dir" not in a:
+                    raise SyntaxError(
+                        "LSCL: beats input requires spool_dir => \"...\"")
+                spool = BeatsSpool(
+                    a["spool_dir"], host=a.get("host", "127.0.0.1"),
+                    port=int(a.get("port", 0))).start()
+                self.http_spools.append(spool)
+                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
             elif n.name in ("http", "udp"):
                 # logstash-input-http (meta:310) / -udp (meta:404): real
                 # in-engine push sources — the listener spools requests /
