@@ -1317,7 +1317,9 @@ class LsclJob:
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
+                dfs.append(http_webhook_stream(
+                    spark, a["spool_dir"],
+                    prune_committed=bool(a.get("prune_committed", False))))
             elif n.name == "http_poller":
                 # logstash-input-http_poller (meta:314): scheduled GETs of
                 # a url set, one event per poll per url, via the same

@@ -153,15 +153,14 @@ class BeatsSpool:
         return self._srv.server_address[1]
 
     def append(self, payloads: list[str], peer: str) -> None:
+        from logstash_spark.sources.http_input import append_spool_lines
+
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        with self._lock, open(self.path, "a", encoding="utf-8") as f:
-            for p in payloads:
-                f.write(json.dumps({
-                    "message": p, "remote_addr": peer,
-                    "content_type": "application/x-lumberjack",
-                    "received_at": now}) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        with self._lock:
+            append_spool_lines(self.spool_dir, [
+                {"message": p, "remote_addr": peer,
+                 "content_type": "application/x-lumberjack",
+                 "received_at": now} for p in payloads])
 
     def start(self) -> "BeatsSpool":
         self._thread = threading.Thread(target=self._srv.serve_forever,

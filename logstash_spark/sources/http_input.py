@@ -40,6 +40,53 @@ HTTP_INPUT_SCHEMA = ("message string, remote_addr string, "
                      "content_type string, received_at timestamp")
 
 _SPOOL_FILE = "events.jsonl"
+_BASE_FILE = "committed_base"   # sidecar: global line index of file line 0
+_LOCK_FILE = ".spool.lock"
+
+
+class _spool_lock:
+    """Cross-object/cross-process exclusive lock over one spool dir.
+
+    Writers (the listener threads) and the pruning reader both mutate the
+    spool; fcntl.flock on a dedicated lockfile serializes them — the
+    listeners and the stream reader all live on the driver, but as
+    unrelated objects, so an in-memory lock cannot be shared."""
+
+    def __init__(self, spool_dir: str):
+        self._path = os.path.join(spool_dir, _LOCK_FILE)
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "a+")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+
+
+def _read_base(spool_dir: str) -> int:
+    try:
+        with open(os.path.join(spool_dir, _BASE_FILE)) as f:
+            return int(f.read().strip() or 0)
+    except FileNotFoundError:
+        return 0
+
+
+def append_spool_lines(spool_dir: str, records: list[dict]) -> None:
+    """The single write path every push listener uses: append one JSON
+    line per record under the spool lock, fsync before returning — a
+    record is either durably spooled or was never acknowledged."""
+    path = os.path.join(spool_dir, _SPOOL_FILE)
+    with _spool_lock(spool_dir), open(path, "a", encoding="utf-8") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
 
 
 class HttpEventSpool:
@@ -69,13 +116,11 @@ class HttpEventSpool:
 
     def _append(self, lines: list[str], remote: str, ctype: str) -> None:
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-        with self._lock, open(self.path, "a", encoding="utf-8") as f:
-            for ln in lines:
-                f.write(json.dumps({"message": ln, "remote_addr": remote,
-                                    "content_type": ctype,
-                                    "received_at": now}) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        with self._lock:
+            append_spool_lines(self.spool_dir, [
+                {"message": ln, "remote_addr": remote,
+                 "content_type": ctype, "received_at": now}
+                for ln in lines])
 
     def _build_handler(self):
         spool = self
@@ -161,31 +206,72 @@ class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
     bounds and gets byte-identical rows back (the spool never mutates
     in place, only appends)."""
 
+    #: prune only when at least this many committed lines would drop —
+    #: rewriting the file per micro-batch would turn commit() into O(file)
+    PRUNE_MIN_LINES = 1000
+
     def __init__(self, options: dict):
         spool_dir = options.get("spool_dir") or options.get("path")
         if not spool_dir:
             raise ValueError(
                 "http_webhook source requires option 'spool_dir' — the "
                 "directory an HttpEventSpool listener is writing to")
+        self.spool_dir = spool_dir
         self.path = os.path.join(spool_dir, _SPOOL_FILE)
+        self.prune = str(options.get("prune_committed", "")).lower() \
+            in ("true", "1", "yes")
 
     def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
-        return {"line": 0}
+        return {"line": _read_base(self.spool_dir)}
 
     def read(self, start: dict):
-        recs = _read_lines(self.path, start["line"])
+        with _spool_lock(self.spool_dir):
+            base = _read_base(self.spool_dir)
+            recs = _read_lines(self.path, start["line"] - base)
         return iter([_to_row(r) for r in recs]), \
             {"line": start["line"] + len(recs)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        recs = _read_lines(self.path, start["line"], end["line"])
+        with _spool_lock(self.spool_dir):
+            base = _read_base(self.spool_dir)
+            if start["line"] < base:
+                raise ValueError(
+                    f"spool {self.spool_dir}: replay below pruned base "
+                    f"({start['line']} < {base}) — prune_committed dropped "
+                    "data Spark re-requested; this cannot happen for "
+                    "offsets Spark itself committed")
+            recs = _read_lines(self.path, start["line"] - base,
+                               end["line"] - base)
         return iter([_to_row(r) for r in recs])
 
     def commit(self, end: dict) -> None:
-        # retention is the spool owner's concern (DLQ-style age/size
-        # pruning would truncate *whole files*, never committed ranges);
-        # keeping everything preserves full replay from any checkpoint.
-        pass
+        """Spark guarantees offsets < ``end`` are never re-read.  With
+        ``prune_committed=true`` the consumed prefix is dropped (the
+        reference's PQ does the same: acked pages are reclaimed); default
+        keeps everything for full replay from ANY checkpoint, not just
+        the latest."""
+        if not self.prune:
+            return
+        with _spool_lock(self.spool_dir):
+            base = _read_base(self.spool_dir)
+            drop = end["line"] - base
+            if drop < self.PRUNE_MIN_LINES or not os.path.exists(self.path):
+                return
+            tmp = self.path + ".pruning"
+            with open(self.path, encoding="utf-8") as src, \
+                    open(tmp, "w", encoding="utf-8") as dst:
+                for i, line in enumerate(src):
+                    if i >= drop:
+                        dst.write(line)
+                dst.flush()
+                os.fsync(dst.fileno())
+            os.replace(tmp, self.path)
+            bt = os.path.join(self.spool_dir, _BASE_FILE)
+            with open(bt + ".tmp", "w") as f:
+                f.write(str(end["line"]))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(bt + ".tmp", bt)
 
 
 class HttpWebhookDataSource(DataSource):
@@ -213,12 +299,17 @@ def register_http_webhook(spark) -> None:
             raise
 
 
-def http_webhook_stream(spark, spool_dir: str):
+def http_webhook_stream(spark, spool_dir: str,
+                        prune_committed: bool = False):
     """The readStream entry: events POSTed to the paired
-    :class:`HttpEventSpool` appear as streaming rows."""
+    :class:`HttpEventSpool` appear as streaming rows.
+    ``prune_committed=True`` bounds the spool: once Spark commits an
+    offset the consumed prefix is reclaimed (at the cost of only being
+    able to resume from the latest checkpoint)."""
     register_http_webhook(spark)
     return (spark.readStream.format("http_webhook")
-            .option("spool_dir", spool_dir).load())
+            .option("spool_dir", spool_dir)
+            .option("prune_committed", str(prune_committed).lower()).load())
 
 
 class UdpEventSpool:
@@ -261,14 +352,11 @@ class UdpEventSpool:
             except OSError:  # timeout or closed socket
                 continue
             now = datetime.datetime.now(datetime.timezone.utc).isoformat()
-            line = json.dumps({
-                "message": data.decode("utf-8", "replace"),
-                "remote_addr": addr[0], "content_type": "udp/datagram",
-                "received_at": now}) + "\n"
-            with self._lock, open(self.path, "a", encoding="utf-8") as f:
-                f.write(line)
-                f.flush()
-                os.fsync(f.fileno())
+            with self._lock:
+                append_spool_lines(self.spool_dir, [{
+                    "message": data.decode("utf-8", "replace"),
+                    "remote_addr": addr[0], "content_type": "udp/datagram",
+                    "received_at": now}])
 
     def start(self) -> "UdpEventSpool":
         self._thread = threading.Thread(target=self._loop, name="udp-input",
@@ -342,10 +430,9 @@ class HttpPollerSpool:
             lines.append(json.dumps({
                 "message": body, "remote_addr": url,
                 "content_type": ctype, "received_at": now}))
-        with self._lock, open(self.path, "a", encoding="utf-8") as f:
-            f.write("".join(ln + "\n" for ln in lines))
-            f.flush()
-            os.fsync(f.fileno())
+        with self._lock:
+            append_spool_lines(self.spool_dir,
+                               [json.loads(ln) for ln in lines])
         return len(lines)
 
     def _loop(self) -> None:

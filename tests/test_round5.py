@@ -435,6 +435,56 @@ class TestHttpWebhookInput:
             for s in job.http_spools:
                 s.stop()
 
+    def test_prune_committed_bounds_spool(self, spark, tmp_path):
+        """r5 retention: with prune_committed the consumed prefix is
+        reclaimed on Spark's commit() callback (the reference PQ reclaims
+        acked pages), and resume from the checkpoint stays exact."""
+        import os
+
+        from logstash_spark.sources.http_input import (HttpEventSpool,
+                                                       _read_base,
+                                                       http_webhook_stream)
+
+        spool_dir = str(tmp_path / "spool")
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        with HttpEventSpool(spool_dir) as spool:
+            # one ndjson POST carrying 1500 events (> PRUNE_MIN_LINES)
+            body = "\n".join(f'{{"i":{i}}}' for i in range(1500))
+            self._post(spool.port, body, ctype="application/x-ndjson")
+            df = http_webhook_stream(spark, spool_dir,
+                                     prune_committed=True)
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            assert spark.read.parquet(out).count() == 1500
+            # new events after the first drain still flow, exactly once;
+            # the engine calls commit() for batch 0 during this second
+            # cycle, which is when the prune lands
+            self._post(spool.port, "tail-1")
+            self._post(spool.port, "tail-2")
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            assert spark.read.parquet(out).count() == 1502
+            # commit() fired at least once by now: base advanced past the
+            # first batch, file holds only the un-pruned tail
+            base = _read_base(spool_dir)
+            assert base >= 1500
+            n_left = sum(1 for _ in open(f"{spool_dir}/events.jsonl"))
+            assert n_left <= 2
+            # third cycle proves reads stay exact above the pruned base
+            self._post(spool.port, "tail-3")
+            q = (df.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            got = sorted(r.message for r in
+                         spark.read.parquet(out).collect()
+                         if r.message.startswith("tail"))
+            assert got == ["tail-1", "tail-2", "tail-3"]
+
     def test_udp_input_native(self, spark, tmp_path):
         """logstash-input-udp (meta:404) rides the same spool datasource:
         datagrams become replayable streaming rows."""
