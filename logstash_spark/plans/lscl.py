@@ -998,6 +998,7 @@ class LsclJob:
         # live HTTP listeners started by source_stream (http inputs);
         # callers stop them after the query terminates
         self.http_spools: list = []
+        self._ordered = False  # set by run_stream(ordered=True)
         self.filter_nodes = sections.get("filter", [])
         self.pipeline = Pipeline(compile_items(sections.get("filter", []),
                                                self.context))
@@ -1297,7 +1298,8 @@ class LsclJob:
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
+                dfs.append(http_webhook_stream(spark, a["spool_dir"],
+                                               include_seq=self._ordered))
             elif n.name in ("http", "udp"):
                 # logstash-input-http (meta:310) / -udp (meta:404): real
                 # in-engine push sources — the listener spools requests /
@@ -1319,7 +1321,8 @@ class LsclJob:
                 self.http_spools.append(spool)
                 dfs.append(http_webhook_stream(
                     spark, a["spool_dir"],
-                    prune_committed=bool(a.get("prune_committed", False))))
+                    prune_committed=bool(a.get("prune_committed", False)),
+                    include_seq=self._ordered))
             elif n.name == "http_poller":
                 # logstash-input-http_poller (meta:314): scheduled GETs of
                 # a url set, one event per poll per url, via the same
@@ -1348,7 +1351,8 @@ class LsclJob:
                     a["spool_dir"], a["urls"],
                     interval=interval or 60.0).start()
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(spark, a["spool_dir"]))
+                dfs.append(http_webhook_stream(spark, a["spool_dir"],
+                                               include_seq=self._ordered))
         if not dfs:
             raise SyntaxError("LSCL: config has no input section")
         out = dfs[0]
@@ -1363,7 +1367,8 @@ class LsclJob:
     def run_stream(self, spark, checkpoint_dir: str,
                    stdin_df: DataFrame | None = None,
                    available_now: bool = True,
-                   trigger_interval: str | None = None):
+                   trigger_interval: str | None = None,
+                   ordered: bool = False):
         """Run the full config as ONE Structured Streaming query.
 
         The output section is delivered per micro-batch through
@@ -1407,9 +1412,36 @@ class LsclJob:
                         f"around the stateless part of this config")
 
         _walk(self.filter_nodes)
+        # pipeline.ordered analog (logstash.yml pipeline.ordered=true: one
+        # worker, events keep input order end-to-end).  Arrival order is
+        # only well-defined for the spool-backed push inputs, whose global
+        # spool line index IS the arrival sequence — each micro-batch is
+        # sorted by it into a single output partition before delivery, so
+        # sinks observe strict arrival order.  Distributed scans
+        # (file/kafka) have no global arrival order; the documented
+        # contract there stays sink-side sorting on event time.
+        self._ordered = ordered
+        if ordered:
+            spoolable = {"http", "udp", "http_poller", "beats", "stdin"}
+            bad = [n.name for n in self.inputs
+                   if isinstance(n, PluginNode) and n.name not in spoolable]
+            if bad:
+                raise SyntaxError(
+                    f"LSCL: ordered=True needs spool-backed inputs "
+                    f"(http/udp/http_poller/beats); {bad} have no global "
+                    "arrival order — sort at the sink on event time "
+                    "instead (SURVEY ordered-execution contract)")
         out = self.pipeline(self.source_stream(spark, stdin_df))
 
         def deliver(batch_df, batch_id):
+            if ordered:
+                if "__seq" not in batch_df.columns:
+                    raise ValueError(
+                        "ordered=True but a filter dropped __seq — keep "
+                        "the arrival-sequence column out of prune/"
+                        "remove_field lists")
+                batch_df = (batch_df.coalesce(1)
+                            .sortWithinPartitions("__seq").drop("__seq"))
             for n in self.outputs:
                 self._one_output_batch(batch_df, n, epoch_id=batch_id)
 

@@ -38,6 +38,10 @@ from pyspark.sql.types import StructType
 #: type, arrival time).
 HTTP_INPUT_SCHEMA = ("message string, remote_addr string, "
                      "content_type string, received_at timestamp")
+#: with option include_seq: the global spool line index — the exact
+#: arrival order across every listener sharing the spool (the basis of
+#: the pipeline.ordered analog in plans/lscl.LsclJob.run_stream)
+HTTP_INPUT_SCHEMA_SEQ = HTTP_INPUT_SCHEMA + ", __seq long"
 
 _SPOOL_FILE = "events.jsonl"
 _BASE_FILE = "committed_base"   # sidecar: global line index of file line 0
@@ -220,15 +224,23 @@ class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
         self.path = os.path.join(spool_dir, _SPOOL_FILE)
         self.prune = str(options.get("prune_committed", "")).lower() \
             in ("true", "1", "yes")
+        self.include_seq = str(options.get("include_seq", "")).lower() \
+            in ("true", "1", "yes")
 
     def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
         return {"line": _read_base(self.spool_dir)}
+
+    def _rows(self, recs: list[dict], first_seq: int) -> list[tuple]:
+        if not self.include_seq:
+            return [_to_row(r) for r in recs]
+        return [_to_row(r) + (first_seq + i,)
+                for i, r in enumerate(recs)]
 
     def read(self, start: dict):
         with _spool_lock(self.spool_dir):
             base = _read_base(self.spool_dir)
             recs = _read_lines(self.path, start["line"] - base)
-        return iter([_to_row(r) for r in recs]), \
+        return iter(self._rows(recs, start["line"])), \
             {"line": start["line"] + len(recs)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
@@ -242,7 +254,7 @@ class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
                     "offsets Spark itself committed")
             recs = _read_lines(self.path, start["line"] - base,
                                end["line"] - base)
-        return iter([_to_row(r) for r in recs])
+        return iter(self._rows(recs, start["line"]))
 
     def commit(self, end: dict) -> None:
         """Spark guarantees offsets < ``end`` are never re-read.  With
@@ -284,6 +296,9 @@ class HttpWebhookDataSource(DataSource):
         return "http_webhook"
 
     def schema(self) -> str:
+        if str(self.options.get("include_seq", "")).lower() \
+                in ("true", "1", "yes"):
+            return HTTP_INPUT_SCHEMA_SEQ
         return HTTP_INPUT_SCHEMA
 
     def simpleStreamReader(self, schema: StructType):  # noqa: N802
@@ -300,7 +315,8 @@ def register_http_webhook(spark) -> None:
 
 
 def http_webhook_stream(spark, spool_dir: str,
-                        prune_committed: bool = False):
+                        prune_committed: bool = False,
+                        include_seq: bool = False):
     """The readStream entry: events POSTed to the paired
     :class:`HttpEventSpool` appear as streaming rows.
     ``prune_committed=True`` bounds the spool: once Spark commits an
@@ -309,7 +325,8 @@ def http_webhook_stream(spark, spool_dir: str,
     register_http_webhook(spark)
     return (spark.readStream.format("http_webhook")
             .option("spool_dir", spool_dir)
-            .option("prune_committed", str(prune_committed).lower()).load())
+            .option("prune_committed", str(prune_committed).lower())
+            .option("include_seq", str(include_seq).lower()).load())
 
 
 class UdpEventSpool:

@@ -587,6 +587,74 @@ class TestHttpWebhookInput:
                 s.stop()
             srv.shutdown()
 
+    def test_ordered_delivery_preserves_arrival_order(self, spark,
+                                                      tmp_path):
+        """pipeline.ordered analog: with ordered=True each micro-batch is
+        delivered as ONE partition sorted by the spool arrival sequence,
+        so the sink observes strict input order (the reference's
+        pipeline.ordered=true single-worker contract)."""
+        import glob
+        import json as _json
+
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        spool_dir = str(tmp_path / "spool")
+        sink = str(tmp_path / "sink")
+        cfg = f"""
+        input {{ http {{ spool_dir => "{spool_dir}" }} }}
+        output {{ file {{ path => "{sink}" codec => "json_lines" }} }}
+        """
+        job = compile_lscl_job(cfg)
+        # arrival order = ndjson line order within one POST
+        from logstash_spark.sources.http_input import HttpEventSpool
+
+        spool = job_spool = None
+        # start the stream ordered; the listener is created inside
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"),
+                           available_now=False,
+                           trigger_interval="5 seconds", ordered=True)
+        try:
+            port = job.http_spools[0].port
+            body = "\n".join(_json.dumps({"n": i}) for i in range(200))
+            self._post(port, body, ctype="application/x-ndjson")
+            import time as _time
+            for _ in range(150):
+                files = [f for f in glob.glob(f"{sink}/part-*")
+                         if not f.endswith(".crc")]
+                total = 0
+                for f in files:
+                    total += sum(1 for _ in open(f))
+                if total >= 200:
+                    break
+                _time.sleep(0.2)
+            assert total == 200
+            # strict arrival order across the batch's single part file(s),
+            # files ordered by name (one per delivering micro-batch)
+            seq = []
+            for f in sorted(files):
+                for line in open(f):
+                    seq.append(_json.loads(
+                        _json.loads(line)["message"])["n"])
+            assert seq == list(range(200))
+        finally:
+            q.stop()
+            for s in job.http_spools:
+                s.stop()
+
+    def test_ordered_rejects_unordered_inputs(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.txt").write_text("x\n")
+        cfg = f"""
+        input {{ file {{ path => "{src}" codec => "line" }} }}
+        output {{ null {{}} }}
+        """
+        with pytest.raises(SyntaxError, match="arrival order"):
+            compile_lscl_job(cfg).run_stream(
+                spark, checkpoint_dir=str(tmp_path / "ck"), ordered=True)
+
     def test_batch_run_rejects_http_input(self, spark, tmp_path):
         from logstash_spark.plans.lscl import compile_lscl_job
 
