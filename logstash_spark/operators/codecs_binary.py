@@ -827,8 +827,16 @@ def msgpack_encode(df: DataFrame, columns: list[str] | None = None,
     event columns pass through untouched for downstream routing.
     """
     cols = columns if columns is not None else list(df.columns)
+    # a pre-existing column named ``target`` is REPLACED by the encoded
+    # bytes (codec semantics: encoding into `message` overwrites it) —
+    # without the exclusion the output schema would declare the name
+    # twice (string and binary) and fail at execution
+    carry = [f for f in df.schema.fields if f.name != target]
+    carry_names = [f.name for f in carry]
     carry_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        f"{f.name} {f.dataType.simpleString()}" for f in carry)
+    out_schema = ((carry_schema + ", ") if carry_schema else "") + \
+        f"{target} binary"
 
     def encode(batches):
         for pdf in batches:
@@ -836,10 +844,10 @@ def msgpack_encode(df: DataFrame, columns: list[str] | None = None,
                 return _mp_encode(
                     {c: _py_clean(row[c]) for c in cols})
 
-            yield pdf.assign(**{target: pdf.apply(one, axis=1)
-                                if len(pdf) else pdf.get(target, [])})
+            enc = pdf.apply(one, axis=1) if len(pdf) else []
+            yield pdf.assign(**{target: enc})[carry_names + [target]]
 
-    return df.mapInPandas(encode, carry_schema + f", {target} binary")
+    return df.mapInPandas(encode, out_schema)
 
 
 def fluent_encode(df: DataFrame, tag, time_col: str,
@@ -855,8 +863,12 @@ def fluent_encode(df: DataFrame, tag, time_col: str,
     (4-byte seconds + 4-byte nanos)."""
     rec_cols = record_cols if record_cols is not None else [
         c for c in df.columns if c != time_col]
+    carry = [f for f in df.schema.fields if f.name != target]
+    carry_names = [f.name for f in carry]
     carry_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        f"{f.name} {f.dataType.simpleString()}" for f in carry)
+    out_schema = ((carry_schema + ", ") if carry_schema else "") + \
+        f"{target} binary"
     tag_col = tag[1:] if isinstance(tag, str) and tag.startswith("@") else None
 
     def encode(batches):
@@ -876,7 +888,7 @@ def fluent_encode(df: DataFrame, tag, time_col: str,
                         + _mp_encode(
                             {c: _py_clean(row[c]) for c in rec_cols}))
 
-            yield pdf.assign(**{target: pdf.apply(one, axis=1)
-                                if len(pdf) else pdf.get(target, [])})
+            enc = pdf.apply(one, axis=1) if len(pdf) else []
+            yield pdf.assign(**{target: enc})[carry_names + [target]]
 
-    return df.mapInPandas(encode, carry_schema + f", {target} binary")
+    return df.mapInPandas(encode, out_schema)

@@ -999,6 +999,14 @@ class LsclJob:
         # callers stop them after the query terminates
         self.http_spools: list = []
         self._ordered = False  # set by run_stream(ordered=True)
+        # bus sender identity: a deterministic digest of this job's config
+        # AST — re-compiling the SAME config replaces its own registration
+        # (the reload contract) instead of unioning a stale copy, which
+        # keying by object id() did (and id() can be reused after GC)
+        import hashlib as _hashlib
+
+        self._bus_identity = _hashlib.md5(
+            repr(sections).encode()).hexdigest()
         self.filter_nodes = sections.get("filter", [])
         self.pipeline = Pipeline(compile_items(sections.get("filter", []),
                                                self.context))
@@ -1084,8 +1092,12 @@ class LsclJob:
             query = a.get("query")
             if isinstance(query, str):
                 query = _json.loads(query)
+            if not a.get("hosts"):
+                raise SyntaxError(
+                    "LSCL: elasticsearch input requires hosts => "
+                    "[\"host:port\", ...]")
             return elasticsearch_source(
-                spark, a.get("hosts"),
+                spark, a["hosts"],
                 a.get("index", "logstash-*"), query=query,
                 size=int(a.get("size", 1000)),
                 scroll=a.get("scroll", "1m"), schema=a.get("schema"))
@@ -1162,7 +1174,7 @@ class LsclJob:
             if not isinstance(addrs, list):
                 addrs = [addrs]
             for addr in addrs:
-                self.bus.send(addr, df, sender=id(self))
+                self.bus.send(addr, df, sender=self._bus_identity)
             return
         if n.name == "file":
             from logstash_spark.functions.decorators import strip_metadata
@@ -1252,6 +1264,7 @@ class LsclJob:
         source directly).  Multiple inputs union like the batch path.
         """
         dfs = []
+        spool_dirs_seen: set[str] = set()
         for n in self.inputs:
             a = n.attrs
             if n.name == "file":
@@ -1298,8 +1311,11 @@ class LsclJob:
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(spark, a["spool_dir"],
-                                               include_seq=self._ordered))
+                if a["spool_dir"] not in spool_dirs_seen:
+                    spool_dirs_seen.add(a["spool_dir"])
+                    dfs.append(http_webhook_stream(
+                        spark, a["spool_dir"],
+                        include_seq=self._ordered))
             elif n.name in ("http", "udp"):
                 # logstash-input-http (meta:310) / -udp (meta:404): real
                 # in-engine push sources — the listener spools requests /
@@ -1319,10 +1335,17 @@ class LsclJob:
                     a["spool_dir"], host=a.get("host", "127.0.0.1"),
                     port=int(a.get("port", 0))).start()
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(
-                    spark, a["spool_dir"],
-                    prune_committed=bool(a.get("prune_committed", False)),
-                    include_seq=self._ordered))
+                # several listeners may share one spool (their events
+                # interleave in arrival order); exactly ONE reader per
+                # spool dir — a second stream over the same dir would
+                # deliver every row twice
+                if a["spool_dir"] not in spool_dirs_seen:
+                    spool_dirs_seen.add(a["spool_dir"])
+                    dfs.append(http_webhook_stream(
+                        spark, a["spool_dir"],
+                        prune_committed=bool(a.get("prune_committed",
+                                                   False)),
+                        include_seq=self._ordered))
             elif n.name == "http_poller":
                 # logstash-input-http_poller (meta:314): scheduled GETs of
                 # a url set, one event per poll per url, via the same
@@ -1350,9 +1373,14 @@ class LsclJob:
                 spool = HttpPollerSpool(
                     a["spool_dir"], a["urls"],
                     interval=interval or 60.0).start()
+                if a["spool_dir"] not in spool_dirs_seen:
+                    spool_dirs_seen.add(a["spool_dir"])
+                    dfs.append(http_webhook_stream(
+                        spark, a["spool_dir"],
+                        include_seq=self._ordered))
                 self.http_spools.append(spool)
-                dfs.append(http_webhook_stream(spark, a["spool_dir"],
-                                               include_seq=self._ordered))
+            else:
+                dfs.append(self._one_source(spark, n, stdin_df))
         if not dfs:
             raise SyntaxError("LSCL: config has no input section")
         out = dfs[0]
@@ -1422,7 +1450,7 @@ class LsclJob:
         # contract there stays sink-side sorting on event time.
         self._ordered = ordered
         if ordered:
-            spoolable = {"http", "udp", "http_poller", "beats", "stdin"}
+            spoolable = {"http", "udp", "http_poller", "beats"}
             bad = [n.name for n in self.inputs
                    if isinstance(n, PluginNode) and n.name not in spoolable]
             if bad:
@@ -1431,7 +1459,28 @@ class LsclJob:
                     f"(http/udp/http_poller/beats); {bad} have no global "
                     "arrival order — sort at the sink on event time "
                     "instead (SURVEY ordered-execution contract)")
+            dirs = {n.attrs.get("spool_dir") for n in self.inputs
+                    if isinstance(n, PluginNode)}
+            if len(dirs) > 1:
+                raise SyntaxError(
+                    "LSCL: ordered=True with multiple spool_dirs — each "
+                    "spool numbers arrivals independently, so their union "
+                    "has no single arrival order; point every listener at "
+                    "ONE spool_dir (they interleave there in true arrival "
+                    "order)")
         out = self.pipeline(self.source_stream(spark, stdin_df))
+
+        # s3 epoch directories are scoped by a digest of the checkpoint
+        # path: epoch ids are only unique WITHIN one checkpoint, so a new
+        # logical stream (fresh checkpoint) restarting at epoch 0 must not
+        # overwrite a previous run's epoch_id=0 objects — while a driver
+        # restart RESUMING the same checkpoint keeps the same token and
+        # its retried epochs overwrite their own directories (idempotent).
+        import hashlib as _hashlib
+        import os as _os
+
+        run_token = _hashlib.md5(
+            _os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
         def deliver(batch_df, batch_id):
             if ordered:
@@ -1443,7 +1492,8 @@ class LsclJob:
                 batch_df = (batch_df.coalesce(1)
                             .sortWithinPartitions("__seq").drop("__seq"))
             for n in self.outputs:
-                self._one_output_batch(batch_df, n, epoch_id=batch_id)
+                self._one_output_batch(batch_df, n, epoch_id=batch_id,
+                                       run_token=run_token)
 
         w = (out.writeStream.outputMode("append")
              .option("checkpointLocation", checkpoint_dir)
@@ -1455,7 +1505,8 @@ class LsclJob:
         return w.start()
 
     def _one_output_batch(self, df: DataFrame, n,
-                          epoch_id: int | None = None) -> None:
+                          epoch_id: int | None = None,
+                          run_token: str | None = None) -> None:
         """Per-micro-batch output delivery: file appends, others reuse the
         batch writers (the micro-batch frame IS a batch DataFrame).
         ``epoch_id`` is the foreachBatch batch id, used by sinks that can
@@ -1466,10 +1517,12 @@ class LsclJob:
                 pred = compile_expr(expr, df)
                 for inner in body:
                     self._one_output_batch(remaining.filter(pred), inner,
-                                           epoch_id=epoch_id)
+                                           epoch_id=epoch_id,
+                                           run_token=run_token)
                 remaining = remaining.filter(~F.coalesce(pred, F.lit(False)))
             for inner in (n.else_nodes or []):
-                self._one_output_batch(remaining, inner, epoch_id=epoch_id)
+                self._one_output_batch(remaining, inner, epoch_id=epoch_id,
+                                       run_token=run_token)
             return
         if n.name == "file":
             from logstash_spark.functions.decorators import strip_metadata
@@ -1504,8 +1557,10 @@ class LsclJob:
             a = n.attrs
             prefix = a.get("prefix", "")
             if epoch_id is not None:
-                prefix = f"{prefix.rstrip('/')}/epoch_id={epoch_id}" \
-                    if prefix else f"epoch_id={epoch_id}"
+                run_part = f"run={run_token}/" if run_token else ""
+                epoch_part = f"{run_part}epoch_id={epoch_id}"
+                prefix = f"{prefix.rstrip('/')}/{epoch_part}" \
+                    if prefix else epoch_part
             s3_sink(df, a["bucket"], prefix,
                     codec=a.get("codec", "json_lines"),
                     scheme=a.get("scheme", "s3a"),

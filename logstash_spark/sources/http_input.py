@@ -44,7 +44,6 @@ HTTP_INPUT_SCHEMA = ("message string, remote_addr string, "
 HTTP_INPUT_SCHEMA_SEQ = HTTP_INPUT_SCHEMA + ", __seq long"
 
 _SPOOL_FILE = "events.jsonl"
-_BASE_FILE = "committed_base"   # sidecar: global line index of file line 0
 _LOCK_FILE = ".spool.lock"
 
 
@@ -57,6 +56,7 @@ class _spool_lock:
     unrelated objects, so an in-memory lock cannot be shared."""
 
     def __init__(self, spool_dir: str):
+        os.makedirs(spool_dir, exist_ok=True)
         self._path = os.path.join(spool_dir, _LOCK_FILE)
 
     def __enter__(self):
@@ -73,12 +73,33 @@ class _spool_lock:
         self._f.close()
 
 
-def _read_base(spool_dir: str) -> int:
+def _spool_header(path: str) -> tuple[int, bool]:
+    """(base, has_header) from the spool file's first line.
+
+    The base lives IN the spool file (line 0: ``{"__base__": n}``) so the
+    prune rewrite replaces base and content in ONE atomic os.replace — a
+    sidecar would leave a crash window between the two updates in which
+    restart either skips unread lines or re-delivers committed ones.
+    A header-less file (legacy/hand-made) reads as base 0, all lines data.
+    """
     try:
-        with open(os.path.join(spool_dir, _BASE_FILE)) as f:
-            return int(f.read().strip() or 0)
+        with open(path, encoding="utf-8") as f:
+            first = f.readline()
     except FileNotFoundError:
-        return 0
+        return 0, False
+    if not first.endswith("\n"):
+        return 0, False
+    try:
+        rec = json.loads(first)
+    except ValueError:
+        return 0, False
+    if isinstance(rec, dict) and "__base__" in rec:
+        return int(rec["__base__"]), True
+    return 0, False
+
+
+def _read_base(spool_dir: str) -> int:
+    return _spool_header(os.path.join(spool_dir, _SPOOL_FILE))[0]
 
 
 def append_spool_lines(spool_dir: str, records: list[dict]) -> None:
@@ -86,11 +107,15 @@ def append_spool_lines(spool_dir: str, records: list[dict]) -> None:
     line per record under the spool lock, fsync before returning — a
     record is either durably spooled or was never acknowledged."""
     path = os.path.join(spool_dir, _SPOOL_FILE)
-    with _spool_lock(spool_dir), open(path, "a", encoding="utf-8") as f:
-        for rec in records:
-            f.write(json.dumps(rec) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    with _spool_lock(spool_dir):
+        fresh = not os.path.exists(path)
+        with open(path, "a", encoding="utf-8") as f:
+            if fresh:
+                f.write(json.dumps({"__base__": 0}) + "\n")
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
 
 class HttpEventSpool:
@@ -176,12 +201,16 @@ class HttpEventSpool:
 
 
 def _read_lines(path: str, start: int, end: int | None = None) -> list[dict]:
-    """Spool lines [start, end) as dicts; end=None reads to EOF."""
+    """Spool DATA lines [start, end) as dicts; end=None reads to EOF.
+    Indices are data-line indices — the header line (if present) is
+    transparent to callers."""
     out = []
     if not os.path.exists(path):
         return out
+    _, has_header = _spool_header(path)
     with open(path, encoding="utf-8") as f:
-        for i, line in enumerate(f):
+        for raw_i, line in enumerate(f):
+            i = raw_i - 1 if has_header else raw_i
             if i < start:
                 continue
             if end is not None and i >= end:
@@ -228,7 +257,8 @@ class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
             in ("true", "1", "yes")
 
     def initialOffset(self) -> dict:  # noqa: N802 (datasource API)
-        return {"line": _read_base(self.spool_dir)}
+        with _spool_lock(self.spool_dir):
+            return {"line": _read_base(self.spool_dir)}
 
     def _rows(self, recs: list[dict], first_seq: int) -> list[tuple]:
         if not self.include_seq:
@@ -265,25 +295,24 @@ class _HttpSpoolStreamReader(SimpleDataSourceStreamReader):
         if not self.prune:
             return
         with _spool_lock(self.spool_dir):
-            base = _read_base(self.spool_dir)
+            base, has_header = _spool_header(self.path)
             drop = end["line"] - base
             if drop < self.PRUNE_MIN_LINES or not os.path.exists(self.path):
                 return
+            # new base + remaining lines land in ONE os.replace: a crash
+            # before it leaves the old consistent file, after it the new
+            # consistent file — no window where base and content disagree
             tmp = self.path + ".pruning"
+            skip = drop + (1 if has_header else 0)
             with open(self.path, encoding="utf-8") as src, \
                     open(tmp, "w", encoding="utf-8") as dst:
+                dst.write(json.dumps({"__base__": end["line"]}) + "\n")
                 for i, line in enumerate(src):
-                    if i >= drop:
+                    if i >= skip:
                         dst.write(line)
                 dst.flush()
                 os.fsync(dst.fileno())
             os.replace(tmp, self.path)
-            bt = os.path.join(self.spool_dir, _BASE_FILE)
-            with open(bt + ".tmp", "w") as f:
-                f.write(str(end["line"]))
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(bt + ".tmp", bt)
 
 
 class HttpWebhookDataSource(DataSource):
@@ -435,7 +464,7 @@ class HttpPollerSpool:
         """One scheduler tick: GET every URL, spool one event each."""
         import urllib.request
 
-        lines = []
+        records = []
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         for name, url in self.urls.items():
             try:
@@ -444,13 +473,12 @@ class HttpPollerSpool:
                     ctype = r.headers.get("Content-Type", "text/plain")
             except Exception as e:  # noqa: BLE001 — outage must be visible
                 body, ctype = f"{type(e).__name__}: {e}", "http_poller/error"
-            lines.append(json.dumps({
+            records.append({
                 "message": body, "remote_addr": url,
-                "content_type": ctype, "received_at": now}))
+                "content_type": ctype, "received_at": now})
         with self._lock:
-            append_spool_lines(self.spool_dir,
-                               [json.loads(ln) for ln in lines])
-        return len(lines)
+            append_spool_lines(self.spool_dir, records)
+        return len(records)
 
     def _loop(self) -> None:
         while not self._stop.is_set():

@@ -83,7 +83,13 @@ class TestMinhashHashFamilies:
         xx = {(r.a, r.b) for r in minhash_lsh_dedup(
             docs, n_hashes=16, band_size=4,
             hash_family="xxhash64").collect()}
-        assert sha == xx
+        # banding recall is probabilistic PER FAMILY: borderline pairs on
+        # the s-curve may land on different sides under different hash
+        # functions.  Require near-identical candidate sets (the strongly
+        # similar pairs must agree), not bit-identical ones.
+        union = sha | xx
+        assert union, "no candidate pairs at all"
+        assert len(sha & xx) / len(union) >= 0.9, (sha - xx, xx - sha)
 
     def test_fast_family_lifecycle_clean(self, spark, sf_dir):
         from logstash_spark.datahub.dedup import minhash_lsh_dedup
@@ -473,7 +479,7 @@ class TestHttpWebhookInput:
             base = _read_base(spool_dir)
             assert base >= 1500
             n_left = sum(1 for _ in open(f"{spool_dir}/events.jsonl"))
-            assert n_left <= 2
+            assert n_left <= 3  # header + the un-pruned tail
             # third cycle proves reads stay exact above the pruned base
             self._post(spool.port, "tail-3")
             q = (df.writeStream.format("parquet").option("path", out)
@@ -849,6 +855,8 @@ class TestBeatsInput:
             acked = lumberjack_send("127.0.0.1", spool.port, events)
             assert acked == 5
             lines = open(f"{spool_dir}/events.jsonl").read().splitlines()
+            assert _json.loads(lines[0]) == {"__base__": 0}  # spool header
+            lines = lines[1:]
             assert len(lines) == 5
             first = _json.loads(lines[0])
             assert _json.loads(first["message"]) == events[0]
@@ -865,7 +873,7 @@ class TestBeatsInput:
             assert lumberjack_send("127.0.0.1", spool.port,
                                    [{"b": i} for i in range(3)]) == 3
             lines = open(f"{spool_dir}/events.jsonl").read().splitlines()
-            assert len(lines) == 4
+            assert len(lines) == 5  # header + 4 events
 
     def test_lscl_beats_to_pipeline(self, spark, tmp_path):
         """Full path: filebeat-shaped client -> lumberjack server ->
@@ -919,6 +927,211 @@ class TestBeatsInput:
             # listener must still serve a real client afterwards
             assert lumberjack_send("127.0.0.1", spool.port,
                                    [{"ok": True}]) == 1
+
+
+class TestReviewFindings:
+    """Regression pins for the round-5 self-review findings."""
+
+    def test_stream_inputs_fall_through_to_one_source(self, spark):
+        """Finding 1 (critical): the spool-input elif chain had dropped
+        the else that routes tcp/syslog/kafka/stdin/pipeline through
+        _one_source — those inputs silently vanished in streaming mode."""
+        import socket
+        import threading
+
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def accept_one():
+            try:
+                c, _ = srv.accept()
+                c.close()
+            except OSError:
+                pass
+
+        t = threading.Thread(target=accept_one, daemon=True)
+        t.start()
+        cfg = f"""
+        input {{ tcp {{ host => "127.0.0.1" port => {port} }} }}
+        output {{ null {{}} }}
+        """
+        try:
+            df = compile_lscl_job(cfg).source_stream(spark)
+            assert df.isStreaming
+        finally:
+            srv.close()
+
+    def test_xxhash_family_hashes_are_distinct(self, spark):
+        """Finding 2 (critical): rotation step 7 shares gcd 7 with 63 →
+        period 9 → h10..h15 duplicated h1..h6, collapsing the banding
+        curve.  All 16 hash functions must be pairwise distinct."""
+        from logstash_spark.datahub.dedup import (minhash_signatures,
+                                                  word_shingles)
+
+        docs = spark.createDataFrame(
+            [("d1", "the quick brown fox jumps over the lazy dog again "
+                    "and again with many more words to shingle")],
+            "doc_id string, text string")
+        sh = word_shingles(docs, "text", "doc_id", distinct=False)
+        row = minhash_signatures(sh, n_hashes=16,
+                                 hash_family="xxhash64").first()
+        vals = [row[f"h{i}"] for i in range(16)]
+        assert len(set(vals)) == 16, vals
+
+    def test_bus_recompile_replaces_not_unions(self, spark):
+        """Finding 3: sender keyed by id(self) meant re-compiling the
+        same config unioned a stale registration; the deterministic
+        config digest replaces it."""
+        from logstash_spark.plans.lscl import PipelineBus, compile_lscl_job
+
+        bus = PipelineBus()
+        ctx = {"bus": bus}
+        cfg = """
+        input { stdin {} }
+        output { pipeline { send_to => ["rr_addr"] } }
+        """
+        df1 = spark.range(3).selectExpr("'a' AS message")
+        compile_lscl_job(cfg, context=ctx).run(spark, stdin_df=df1)
+        # re-compile the SAME config (new object) and re-run
+        df2 = spark.range(5).selectExpr("'b' AS message")
+        compile_lscl_job(cfg, context=ctx).run(spark, stdin_df=df2)
+        assert bus.listen("rr_addr").count() == 5  # not 8
+
+    def test_msgpack_encode_default_target_overwrites_message(self, spark):
+        """Finding 4: target='message' on a df that already has message
+        declared the column twice and failed at execution."""
+        from logstash_spark.operators.codecs_binary import (_mp_decode,
+                                                            msgpack_encode)
+
+        df = spark.createDataFrame([("hello", 1)], "message string, n int")
+        out = msgpack_encode(df, columns=["message", "n"]).collect()
+        assert len(out) == 1
+        v, _ = _mp_decode(bytes(out[0].message))
+        assert v == {"message": "hello", "n": 1}
+
+    def test_fluent_encode_default_target_overwrites_message(self, spark):
+        from logstash_spark.operators.codecs_binary import (fluent_decode,
+                                                            fluent_encode)
+
+        df = spark.createDataFrame([(1700000000, "x")],
+                                   "ts long, message string")
+        enc = fluent_encode(df, tag="t", time_col="ts",
+                            record_cols=["message"])
+        r = fluent_decode(enc.select("message"), "message").first()
+        assert r.fluent_failed is False
+
+    def test_spool_header_prune_is_atomic_format(self, tmp_path):
+        """Finding 5: base+content now share one file (header line), so
+        the prune is a single atomic os.replace."""
+        import json as _json
+
+        from logstash_spark.sources.http_input import (_read_base,
+                                                       _read_lines,
+                                                       append_spool_lines)
+
+        d = str(tmp_path / "spool")
+        append_spool_lines(d, [{"message": f"m{i}"} for i in range(3)])
+        first = open(f"{d}/events.jsonl").readline()
+        assert _json.loads(first) == {"__base__": 0}
+        assert _read_base(d) == 0
+        recs = _read_lines(f"{d}/events.jsonl", 0)
+        assert [r["message"] for r in recs] == ["m0", "m1", "m2"]
+        # legacy header-less file still reads (base 0, all lines data)
+        legacy = tmp_path / "legacy"
+        legacy.mkdir()
+        (legacy / "events.jsonl").write_text('{"message":"old"}\n')
+        assert _read_base(str(legacy)) == 0
+        assert _read_lines(str(legacy / "events.jsonl"), 0)[0]["message"] \
+            == "old"
+
+    def test_s3_epochs_scoped_per_checkpoint(self, spark, tmp_path):
+        """Finding 6: a fresh checkpoint restarting at epoch 0 must not
+        overwrite a previous run's epoch_id=0 objects."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.txt").write_text("one\n")
+        cfg = f"""
+        input {{ file {{ path => "{src}" codec => "line" }} }}
+        output {{ s3 {{ bucket => "{tmp_path}" prefix => "s3out/"
+                        codec => "json_lines" scheme => "file" }} }}
+        """
+        compile_lscl_job(cfg).run_stream(
+            spark, checkpoint_dir=str(tmp_path / "ck1")).awaitTermination(120)
+        (src / "b.txt").write_text("two\n")
+        # NEW checkpoint: its epoch 0 must not clobber run 1's epoch 0
+        compile_lscl_job(cfg).run_stream(
+            spark, checkpoint_dir=str(tmp_path / "ck2")).awaitTermination(120)
+        msgs = sorted(r.message for r in
+                      spark.read.json(str(tmp_path / "s3out")).collect())
+        assert msgs == ["one", "one", "two"]  # run2 re-reads both files
+
+    def test_es_input_missing_hosts_is_config_error(self, spark):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        cfg = 'input { elasticsearch { index => "x" } } output { null {} }'
+        with pytest.raises(SyntaxError, match="hosts"):
+            compile_lscl_job(cfg).run(spark)
+
+    def test_ordered_rejects_stdin_and_multi_spool(self, spark, tmp_path):
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        with pytest.raises(SyntaxError, match="arrival order"):
+            compile_lscl_job(
+                "input { stdin {} } output { null {} }").run_stream(
+                spark, checkpoint_dir=str(tmp_path / "c1"), ordered=True)
+        cfg = f"""
+        input {{ http {{ spool_dir => "{tmp_path}/s1" }}
+                 http {{ spool_dir => "{tmp_path}/s2" }} }}
+        output {{ null {{}} }}
+        """
+        with pytest.raises(SyntaxError, match="spool_dirs"):
+            compile_lscl_job(cfg).run_stream(
+                spark, checkpoint_dir=str(tmp_path / "c2"), ordered=True)
+
+    def test_shared_spool_dir_single_reader(self, spark, tmp_path):
+        """Two input nodes on ONE spool_dir must not double-deliver."""
+        from logstash_spark.plans.lscl import compile_lscl_job
+
+        spool = str(tmp_path / "spool")
+        sink = str(tmp_path / "sink")
+        cfg = f"""
+        input {{ http {{ spool_dir => "{spool}" }}
+                 udp  {{ spool_dir => "{spool}" }} }}
+        output {{ file {{ path => "{sink}" codec => "json_lines" }} }}
+        """
+        job = compile_lscl_job(cfg)
+        q = job.run_stream(spark, checkpoint_dir=str(tmp_path / "ck"),
+                           available_now=False,
+                           trigger_interval="200 milliseconds")
+        try:
+            assert len(job.http_spools) == 2  # both listeners run
+            import urllib.request
+            port = job.http_spools[0].port
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/",
+                                   data=b"once", timeout=5)
+            import time as _time
+            rows = []
+            for _ in range(100):
+                try:
+                    rows = spark.read.json(sink).collect()
+                except Exception:  # noqa: BLE001
+                    rows = []
+                if rows:
+                    _time.sleep(1.0)  # allow any duplicate to surface
+                    rows = spark.read.json(sink).collect()
+                    break
+                _time.sleep(0.2)
+            assert [r.message for r in rows] == ["once"]
+        finally:
+            q.stop()
+            for s in job.http_spools:
+                s.stop()
 
 
 class TestEsSourceBounds:
